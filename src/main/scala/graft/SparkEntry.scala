@@ -1,13 +1,153 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.canon.UrlCanon
+import graft.queries.{Fixture, OracleSql}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle twin where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Numeric-parity rules (driver hash-compares values):
+  *  - double sums go through DECIMAL(18,6) so aggregation order cannot
+  *    perturb low bits, then cast back to double;
+  *  - integer arithmetic only in derived keys (no float division);
+  *  - every aggregate/computed column is aliased identically here and in
+  *    the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the politeness-scheduled crawl batch (canonicalize →
+    * seen-gate → per-host window rank) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("c5_politeness_rank")(spark, "/root/testdata/sf0.001")
+
+  private def decSum(c: String, as: String) =
+    sum(col(c).cast(DecimalType(18, 6))).cast("double").as(as)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------------
+    // A3/A1 hash aggregation (reference: s2processor.py:113-118 merge as
+    // hash-agg; SURVEY.md §2.4). TPC-H Q1 shape — partial agg map-side.
+    "q1_agg" -> ((s, dir) => {
+      Fixture.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum("l_quantity", "sum_qty"),
+          decSum("l_extendedprice", "sum_base_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // F9/F10 + canonicalization (UrlCanon; reference dblpclient.py:308-317,
+    // 391-395): project canonical_url + host from the messy frontier.
+    "c1_canonicalize" -> ((s, dir) => {
+      Fixture.frontier(s, dir).select(
+        col("seed_rank"),
+        col("url"),
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+        UrlCanon.hostOf(col("url")).as("host"))
+    }),
+
+    // A2-style distinct aggregation per host (host-key frequency — the
+    // skew profile the salted partitioner must absorb).
+    "c2_host_agg" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir)
+      f.select(UrlCanon.hostOf(col("url")).as("host"),
+          UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical_url")).as("n_distinct"))
+    }),
+
+    // J4/J2 frontier-minus-seen anti join (the crawl-dedup step;
+    // reference: md5 skip-download check, dblpclient.py:437-443).
+    "c3_seen_antijoin" -> ((s, dir) => {
+      val cand = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .distinct()
+      cand.join(Fixture.seenSet(s, dir), Seq("canonical_url"), "left_anti")
+    }),
+
+    // J2 semi join (reference F5 corpusid gate, s2processor.py:173-174).
+    "c4_seen_semijoin" -> ((s, dir) => {
+      val cand = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .distinct()
+      cand.join(Fixture.seenSet(s, dir), Seq("canonical_url"), "left_semi")
+    }),
+
+    // Politeness scheduler core: per-host budget as window rank
+    // (SURVEY.md §2.4 note; north_rule "priority-queue scheduler
+    // expressed as window-ranked micro-batches"). Budget = 2.
+    "c5_politeness_rank" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir).select(
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+        UrlCanon.hostOf(col("url")).as("host"),
+        col("priority"), col("seed_rank"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("priority"), col("seed_rank"), col("canonical_url"))
+      f.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("host"), col("canonical_url"), col("priority"), col("seed_rank"), col("rk"))
+    }),
+
+    // Exact dedup by content fingerprint (training-data op; md5 as the
+    // exact-hash groupBy — reference analog A4 md5, dblpclient.py:53-69).
+    "d1_dedup_exact" -> ((s, dir) => {
+      Fixture.documents(s, dir)
+        .select(md5(col("text").cast("binary")).as("fingerprint"), col("doc_id"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "c1_canonicalize" ->
+      s"""WITH ${OracleSql.frontierCte}
+         |SELECT seed_rank, url,
+         |  ${OracleSql.canonSql("url")} AS canonical_url,
+         |  ${OracleSql.hostSql("url")} AS host
+         |FROM frontier""".stripMargin,
+
+    "c2_host_agg" ->
+      s"""WITH ${OracleSql.canonFrontierCte}
+         |SELECT host, count(*) AS n_urls,
+         |  count(DISTINCT canonical_url) AS n_distinct
+         |FROM cfrontier GROUP BY host""".stripMargin,
+
+    "c3_seen_antijoin" ->
+      s"""WITH ${OracleSql.canonFrontierCte}
+         |SELECT DISTINCT canonical_url FROM cfrontier c
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin,
+
+    "c4_seen_semijoin" ->
+      s"""WITH ${OracleSql.canonFrontierCte}
+         |SELECT DISTINCT canonical_url FROM cfrontier c
+         |WHERE EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin,
+
+    "c5_politeness_rank" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |ranked AS (
+         |  SELECT host, canonical_url, priority, seed_rank,
+         |    row_number() OVER (PARTITION BY host ORDER BY priority, seed_rank, canonical_url) AS rk
+         |  FROM cfrontier)
+         |SELECT host, canonical_url, priority, seed_rank, rk FROM ranked WHERE rk <= 2""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin
+  )
 }

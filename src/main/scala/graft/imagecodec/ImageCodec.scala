@@ -1,0 +1,239 @@
+package graft.imagecodec
+
+/** Deterministic, dependency-free image codecs for the sandbox.
+  *
+  * The container has no image libraries, so the payload path is made real
+  * at the *byte and invariant* level: a lossless uncompressed format
+  * ("bmp" — a faithful 54-byte-header BGR windows bitmap), a lossless
+  * PNG-shaped container ("png" — raw pixels behind a fixed header; decode
+  * is bit-exact), and a deterministic lossy codec ("xjpg") that quantizes
+  * pixel values (losing low bits) so the PSNR≥40dB invariant
+  * (BASELINE.json input_hint) is a real measurement, not a tautology.
+  *
+  * All functions are pure and allocation-bounded so they are safe inside
+  * Catalyst expressions and `mapPartitions` at executor scale.
+  */
+object ImageCodec {
+
+  /** Deterministic pixel pattern for image i: gray8 pixels derived from a
+    * 64-bit mix of (seed, x, y). Returns row-major w*h bytes. */
+  def syntheticPixels(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (mix64(seed ^ (y.toLong << 32) ^ x.toLong) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** splitmix64 finalizer — stable across JVMs, no java.util.Random. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---------------------------------------------------------------- BMP --
+  // Real BI_RGB 8->24bpp bottom-up BMP. Lossless round-trip.
+
+  def encodeBmp(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    putU16(out, 0, 0x4d42) // 'BM'
+    putU32(out, 2, 54 + dataSize)
+    putU32(out, 10, 54)
+    putU32(out, 14, 40) // BITMAPINFOHEADER
+    putU32(out, 18, w)
+    putU32(out, 22, h)
+    putU16(out, 26, 1)
+    putU16(out, 28, 24)
+    putU32(out, 34, dataSize)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px((h - 1 - y) * w + x) // bottom-up
+        val o = 54 + y * rowSize + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decodeBmp(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val w = getU32(bytes, 18)
+    val h = getU32(bytes, 22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px((h - 1 - y) * w + x) = bytes(54 + y * rowSize + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    (px, w, h)
+  }
+
+  // ---------------------------------------------------------------- PNG --
+  // PNG-shaped container: real 8-byte PNG signature + dims, raw gray8
+  // payload (stored, not deflated — no external zlib dependency needed for
+  // determinism). Decode is bit-exact.
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  def encodePng(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](16 + px.length)
+    System.arraycopy(PngSig, 0, out, 0, 8)
+    putU32(out, 8, w)
+    putU32(out, 12, h)
+    System.arraycopy(px, 0, out, 16, px.length)
+    out
+  }
+
+  def decodePng(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(bytes.length >= 16 && bytes(0) == PngSig(0) && bytes(1) == 'P', "not a PNG")
+    val w = getU32(bytes, 8)
+    val h = getU32(bytes, 12)
+    val px = new Array[Byte](w * h)
+    System.arraycopy(bytes, 16, px, 0, w * h)
+    (px, w, h)
+  }
+
+  // --------------------------------------------------------------- XJPG --
+  // Deterministic lossy codec: 4-bit quantization with midpoint
+  // reconstruction. Max per-pixel error = 8/255 → PSNR ≈ 20*log10(255/~4.6)
+  // ≈ 35dB worst-case uniform; actual measured PSNR on the synthetic
+  // pattern is ~42dB because quantization error is uniform(-8..7) with
+  // RMSE≈4.6 → 34.9dB... so we use 5-bit quant (max err 4, RMSE≈2.3 →
+  // ~40.9dB) to sit just above the 40dB bar — the invariant test does the
+  // real measurement.
+
+  def encodeXjpg(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](12 + px.length)
+    out(0) = 'X'; out(1) = 'J'; out(2) = 'P'; out(3) = 'G'
+    putU32(out, 4, w)
+    putU32(out, 8, h)
+    var i = 0
+    while (i < px.length) {
+      out(12 + i) = ((px(i) & 0xf8)).toByte // keep top 5 bits
+      i += 1
+    }
+    out
+  }
+
+  def decodeXjpg(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(bytes.length >= 12 && bytes(0) == 'X' && bytes(1) == 'J', "not an XJPG")
+    val w = getU32(bytes, 4)
+    val h = getU32(bytes, 8)
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = ((bytes(12 + i) & 0xf8) | 0x04).toByte // midpoint reconstruction
+      i += 1
+    }
+    (px, w, h)
+  }
+
+  // ------------------------------------------------------------ generic --
+
+  /** Format sniff from magic bytes (reference analog: suffix dispatch at
+    * csinsights/client/dblpclient.py:401-409). */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+    else if (bytes.length >= 4 && bytes(0) == 'X' && bytes(1) == 'J') "xjpg"
+    else "unknown"
+
+  def decode(bytes: Array[Byte]): (Array[Byte], Int, Int) = sniffFormat(bytes) match {
+    case "bmp"  => decodeBmp(bytes)
+    case "png"  => decodePng(bytes)
+    case "xjpg" => decodeXjpg(bytes)
+    case f      => throw new IllegalArgumentException(s"undecodable format: $f")
+  }
+
+  def encode(px: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = fmt match {
+    case "bmp"  => encodeBmp(px, w, h)
+    case "png"  => encodePng(px, w, h)
+    case "xjpg" => encodeXjpg(px, w, h)
+    case f      => throw new IllegalArgumentException(s"unencodable format: $f")
+  }
+
+  /** Dimensions without full decode — header-only read. */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) = sniffFormat(bytes) match {
+    case "bmp"  => (getU32(bytes, 18), getU32(bytes, 22))
+    case "png"  => (getU32(bytes, 8), getU32(bytes, 12))
+    case "xjpg" => (getU32(bytes, 4), getU32(bytes, 8))
+    case f      => throw new IllegalArgumentException(s"unknown format: $f")
+  }
+
+  /** Average-hash perceptual hash over an 8x8 downsample (DCT-free for
+    * bit-determinism; SURVEY.md §7 "custom vs built-in"). */
+  def averageHash(px: Array[Byte], w: Int, h: Int): Long = {
+    val cell = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        cell(cy * 8 + cx) += (px(y * w + x) & 0xff)
+        cnt(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var sum = 0L; var n = 0L
+    var i = 0
+    while (i < 64) { if (cnt(i) > 0) { cell(i) /= cnt(i); sum += cell(i); n += 1 }; i += 1 }
+    val mean = if (n == 0) 0 else sum / n
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (cnt(i) > 0 && cell(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  def phashOfEncoded(bytes: Array[Byte]): Long = {
+    val (px, w, h) = decode(bytes)
+    averageHash(px, w, h)
+  }
+
+  /** PSNR (dB) between two equal-size gray8 images; Double.PositiveInfinity
+    * when identical. Used by the payload-invariant tests. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length, "size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = ((a(i) & 0xff) - (b(i) & 0xff)).toDouble
+      se += d * d
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 20.0 * math.log10(255.0) - 10.0 * math.log10(se / a.length)
+  }
+
+  // little-endian helpers
+  private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def getU32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+}

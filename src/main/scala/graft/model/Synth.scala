@@ -1,0 +1,96 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.imagecodec.ImageCodec
+
+/** Deterministic synthetic data for the crawl engine (FIXTURES.md §1-4).
+  * Seeded, no wall clock, no external data — every run is bit-reproducible.
+  * Generation happens ON THE EXECUTORS via `spark.range` so it scales to
+  * arbitrary row counts without driver materialization.
+  */
+object Synth {
+  val Seed = 42L
+  val NumHosts = 50
+
+  private val fmts = Array("png", "bmp", "xjpg")
+  private val dims = Array(8, 16, 32, 64)
+  private val vocab: Array[String] =
+    "the quick brown fox lazy dog spark crawl frontier fetch image caption host url seen batch snapshot lineage shuffle partition".split(" ")
+
+  def imageIdOf(i: Long): String = f"img$i%08d"
+  def fmtOf(i: Long): String = fmts((i % 3).toInt)
+  def wOf(i: Long): Int = dims((i % 4).toInt)
+  def hOf(i: Long): Int = dims(((i + 1) % 4).toInt)
+
+  /** ~2% duplicate pixel patterns to exercise phash dedup (FIXTURES.md §1):
+    * every 50th row reuses the pattern of the row 25 before it. */
+  def pixelSeedOf(i: Long): Long =
+    if (i % 50 == 49 && i >= 25) ImageCodec.mix64(Seed ^ (i - 25)) else ImageCodec.mix64(Seed ^ i)
+
+  def captionOf(i: Long): String = {
+    if (i % 97 == 0) "" // ~1% empty
+    else {
+      val n = 4 + (ImageCodec.mix64(Seed ^ ~i) & 7).toInt
+      val sb = new StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(if (i % 101 == 0 && k == 1) "\t" else " ") // ~1% tabs
+        sb.append(vocab((ImageCodec.mix64(Seed ^ i ^ k.toLong) % vocab.length).toInt.abs))
+        k += 1
+      }
+      sb.toString
+    }
+  }
+
+  def makeImageDoc(i: Long): ImageDoc = {
+    val w = wOf(i); val h = hOf(i); val fmt = fmtOf(i)
+    val px = ImageCodec.syntheticPixels(pixelSeedOf(i), w, h)
+    val bytes = ImageCodec.encode(px, w, h, fmt)
+    ImageDoc(imageIdOf(i), bytes, w, h, fmt, captionOf(i),
+      ImageCodec.averageHash(px, w, h))
+  }
+
+  /** Zipf-skewed host assignment — host 0 is hot (FIXTURES.md §2), which
+    * exercises AQE skew handling and the salted partitioner. */
+  def hostOf(i: Long): String = {
+    val z = ImageCodec.mix64(Seed ^ (i * 31)) >>> 1
+    // approximate Zipf(s=1) over NumHosts via inverse-CDF on harmonic buckets
+    val u = (z % 1000000L).toDouble / 1000000.0
+    val hN = (1 to NumHosts).map(1.0 / _).sum
+    var acc = 0.0; var hIdx = 1
+    while (hIdx <= NumHosts && acc + 1.0 / (hIdx * hN) < u) { acc += 1.0 / (hIdx * hN); hIdx += 1 }
+    s"h${math.min(hIdx, NumHosts) - 1}.example.com"
+  }
+
+  def urlOf(i: Long): String = s"https://${hostOf(i)}/img/${imageIdOf(i)}.${fmtOf(i)}"
+
+  /** The primary input table (BASELINE.json input_hint). */
+  def imageDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[ImageDoc] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(r => makeImageDoc(r))
+  }
+
+  /** Crawl seed list: url + seed_rank (= the reference's sequential fetch
+    * index, csinsights/client/s2client.py:146-157) + derived priority. */
+  def seedList(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[SeedRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      SeedRow(urlOf(i), i, (ImageCodec.mix64(Seed ^ i ^ 0x5eedL) >>> 1) % 100)
+    }
+  }
+
+  def robotsRules(spark: SparkSession): Dataset[RobotsRule] = {
+    import spark.implicits._
+    (0 until NumHosts).map { h =>
+      // ~10% of hosts disallow /img/private/ (FIXTURES.md §3)
+      RobotsRule(s"h$h.example.com", if (h % 10 == 3) "/img/private/" else "", h % 10 != 3 || true)
+    }.toDS()
+  }
+
+  def hostBudgets(spark: SparkSession, budget: Int): Dataset[HostBudget] = {
+    import spark.implicits._
+    (0 until NumHosts).map(h => HostBudget(s"h$h.example.com", budget)).toDS()
+  }
+}
+
+final case class SeedRow(url: String, seed_rank: Long, priority: Long)

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic derivation of crawl-shaped tables from the driver's
+  * TPC-H-ish parquet (TESTDATA.md) so that every crawl operator has a
+  * DuckDB-checkable oracle: the SAME arithmetic runs in Spark (here, via
+  * the DataFrame API) and in DuckDB (via [[OracleSql]] CTE text).
+  *
+  * The derived `frontier` is intentionally messy — mixed-case hosts,
+  * explicit :443 ports, fragments — to exercise canonicalization, and its
+  * hosts are `l_partkey % 50` so host frequencies are uniform-ish while
+  * `l_orderkey % k` predicates give deterministic subsets.
+  */
+object Fixture {
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** frontier(url, seed_rank, priority) — see OracleSql.frontierCte for the
+    * twin SQL. seed_rank is pure arithmetic (no global window) so the
+    * derivation itself is shuffle-free and scales. */
+  def frontier(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val host = concat(
+      when(col("l_orderkey") % 3 === 0, concat(lit("H"), (col("l_partkey") % 50).cast("string"), lit(".EXAMPLE.com")))
+        .otherwise(concat(lit("h"), (col("l_partkey") % 50).cast("string"), lit(".example.com"))),
+      when(col("l_orderkey") % 5 === 0, lit(":443")).otherwise(lit("")))
+    val url = concat(
+      lit("https://"), host,
+      lit("/img/"), col("l_orderkey").cast("string"), lit("_"), col("l_linenumber").cast("string"), lit(".png"),
+      when(col("l_orderkey") % 7 === 0, lit("#f")).otherwise(lit("")))
+    li.select(
+      url.as("url"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("seed_rank"),
+      (col("l_partkey") % 100).as("priority"))
+  }
+
+  /** Deterministic "already seen" membership set: canonical urls of the
+    * even-orderkey half of the frontier. Since seed_rank = orderkey*8 +
+    * linenumber with linenumber in 1..7, `seed_rank % 16 < 8` ⇔ even
+    * orderkey — integer-only arithmetic, identical in Spark and DuckDB
+    * (float division rounds differently between the two engines). */
+  def seenSet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.canon.UrlCanon
+    frontier(spark, dir)
+      .filter(col("seed_rank") % 16 < 8)
+      .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+      .distinct()
+  }
+}
