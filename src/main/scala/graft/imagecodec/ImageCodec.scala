@@ -179,6 +179,9 @@ object ImageCodec {
     case f      => throw new IllegalArgumentException(s"unknown format: $f")
   }
 
+  def decodeWidthOf(bytes: Array[Byte]): Int = decodeDims(bytes)._1
+  def decodeHeightOf(bytes: Array[Byte]): Int = decodeDims(bytes)._2
+
   /** Average-hash perceptual hash over an 8x8 downsample (DCT-free for
     * bit-determinism; SURVEY.md §7 "custom vs built-in"). */
   def averageHash(px: Array[Byte], w: Int, h: Int): Long = {

@@ -19,13 +19,16 @@ object Synth {
 
   def imageIdOf(i: Long): String = f"img$i%08d"
   def fmtOf(i: Long): String = fmts((i % 3).toInt)
-  def wOf(i: Long): Int = dims((i % 4).toInt)
-  def hOf(i: Long): Int = dims(((i + 1) % 4).toInt)
 
   /** ~2% duplicate pixel patterns to exercise phash dedup (FIXTURES.md §1):
-    * every 50th row reuses the pattern of the row 25 before it. */
-  def pixelSeedOf(i: Long): Long =
-    if (i % 50 == 49 && i >= 25) ImageCodec.mix64(Seed ^ (i - 25)) else ImageCodec.mix64(Seed ^ i)
+    * every 50th row reuses the pattern AND dims of the row 25 before it
+    * (same pixels, possibly different encoding fmt → cross-format dups). */
+  def dupSourceOf(i: Long): Long = if (i % 50 == 49 && i >= 25) i - 25 else i
+
+  def wOf(i: Long): Int = dims((dupSourceOf(i) % 4).toInt)
+  def hOf(i: Long): Int = dims(((dupSourceOf(i) + 1) % 4).toInt)
+
+  def pixelSeedOf(i: Long): Long = ImageCodec.mix64(Seed ^ dupSourceOf(i))
 
   def captionOf(i: Long): String = {
     if (i % 97 == 0) "" // ~1% empty
@@ -64,6 +67,18 @@ object Synth {
 
   def urlOf(i: Long): String = s"https://${hostOf(i)}/img/${imageIdOf(i)}.${fmtOf(i)}"
 
+  /** Seed url for rank i — every 10th seed re-emits the url 5 back (with
+    * mixed-case host + fragment noise on some), so frontier dedup and
+    * canonicalization are genuinely exercised. */
+  def seedUrlOf(i: Long): String = {
+    val base = if (i % 10 == 9 && i >= 5) urlOf(i - 5) else urlOf(i)
+    if (i % 13 == 0) base.replace("https://h", "https://H") + "#frag"
+    else if (i % 17 == 0) base.replace(".example.com/", ".example.com:443/")
+    else base
+  }
+
+  def priorityOf(i: Long): Long = (ImageCodec.mix64(Seed ^ i ^ 0x5eedL) >>> 1) % 100
+
   /** The primary input table (BASELINE.json input_hint). */
   def imageDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[ImageDoc] = {
     import spark.implicits._
@@ -74,16 +89,16 @@ object Synth {
     * index, csinsights/client/s2client.py:146-157) + derived priority. */
   def seedList(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[SeedRow] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map { i =>
-      SeedRow(urlOf(i), i, (ImageCodec.mix64(Seed ^ i ^ 0x5eedL) >>> 1) % 100)
-    }
+    spark.range(0, n, 1, partitions).map(i => SeedRow(seedUrlOf(i), i, priorityOf(i)))
   }
 
   def robotsRules(spark: SparkSession): Dataset[RobotsRule] = {
     import spark.implicits._
     (0 until NumHosts).map { h =>
-      // ~10% of hosts disallow /img/private/ (FIXTURES.md §3)
-      RobotsRule(s"h$h.example.com", if (h % 10 == 3) "/img/private/" else "", h % 10 != 3 || true)
+      // ~10% of hosts disallow their whole /img/ tree (FIXTURES.md §3) —
+      // the gate must actually drop their urls (tested vs ReferenceSim).
+      if (h % 10 == 3) RobotsRule(s"h$h.example.com", "/img/", allowed = false)
+      else RobotsRule(s"h$h.example.com", "", allowed = true)
     }.toDS()
   }
 

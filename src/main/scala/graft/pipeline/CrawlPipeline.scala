@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.UrlCanon
+import graft.fetch.Fetch
+import graft.model.Synth
+import graft.sched.Scheduler
+import graft.seen.{BloomSeen, ExactSeen}
+import graft.tableio.SnapshotTable
+
+/** End-to-end crawl pipeline: seeds → canonicalize → robots → dedup →
+  * seen-gate → politeness schedule → (micro-batch) fetch → snapshot
+  * commits. This is the E1 lifecycle of the reference
+  * (csinsights/process.py:156-185) rebuilt as Spark jobs with
+  * deterministic, resumable micro-batches.
+  *
+  * Two run modes:
+  *  - [[planAll]] / [[runAll]]: the whole schedule as ONE declarative plan
+  *    (used for throughput benchmarking — no per-batch job overhead);
+  *  - [[runBatches]]: per-micro-batch loop with idempotent snapshot
+  *    commits after each batch (used for the resumability guarantee; a
+  *    restart replays only uncommitted batches and produces the identical
+  *    crawl order — SURVEY §7 hard parts 1-2).
+  */
+object CrawlPipeline {
+
+  final case class Config(
+      nUrls: Long = 10000L,
+      budget: Int = 2,
+      referenceEquivalence: Boolean = false, // budget-1 single-queue total order
+      numPartitions: Int = 32,
+      bloomBuckets: Int = 32,
+      useBloomPrefilter: Boolean = true)
+
+  /** Canonicalized, robots-gated, deduped frontier with schedule columns.
+    * Pure plan — nothing executed. */
+  def planAll(spark: SparkSession, cfg: Config,
+      seeds: Option[DataFrame] = None,
+      seenSnapshot: Option[DataFrame] = None): DataFrame = {
+    val raw = seeds.getOrElse(Synth.seedList(spark, cfg.nUrls, cfg.numPartitions).toDF())
+    val canon = raw.select(
+      UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+      UrlCanon.hostOf(col("url")).as("host"),
+      (if (cfg.referenceEquivalence) lit(0L) else col("priority")).as("priority"),
+      col("seed_rank"),
+      lit(0).as("depth"))
+    val robots = Scheduler.robotsFilter(canon, Synth.robotsRules(spark).toDF())
+    val deduped = Scheduler.dedupFrontier(robots)
+    // explicit repartition by salted canonical-url hash BEFORE the
+    // membership gate (BASELINE.json input_hint)
+    val spread = deduped.repartition(cfg.numPartitions,
+      UrlCanon.saltedKey(col("canonical_url"), BloomSeen.DefaultSalt))
+    val gated = seenSnapshot match {
+      case Some(seen) =>
+        val fast = if (cfg.useBloomPrefilter) {
+          val shards = BloomSeen.buildShards(seen, cfg.bloomBuckets)
+          BloomSeen.gateNotSeen(spread, shards, cfg.bloomBuckets)
+        } else spread
+        // Bloom has false positives → exact anti-join confirms survivors.
+        // The Bloom pass shrinks the exact join's probe side by ~|seen∩cand|.
+        ExactSeen.notSeen(fast, seen)
+      case None => spread
+    }
+    val hostCol = if (cfg.referenceEquivalence) lit("*") else col("host")
+    val budget = if (cfg.referenceEquivalence) 1 else cfg.budget
+    Scheduler.schedule(gated, None, budget, hostCol)
+  }
+
+  /** One-shot execution of the full schedule + fetch. Returns the fetch
+    * log (not yet committed). */
+  def runAll(spark: SparkSession, cfg: Config, store: DataFrame,
+      seeds: Option[DataFrame] = None,
+      seenSnapshot: Option[DataFrame] = None): DataFrame = {
+    val scheduled = planAll(spark, cfg, seeds, seenSnapshot)
+    Fetch.fetchBatch(scheduled, store, cfg.numPartitions)
+  }
+
+  /** Micro-batch loop with snapshot commits. Resume-safe: batches already
+    * committed (by batchId) are skipped, and the schedule is recomputed
+    * deterministically so the replayed order is identical.
+    *
+    * @return number of batches processed in this invocation
+    */
+  def runBatches(spark: SparkSession, cfg: Config, store: DataFrame,
+      tableRoot: String,
+      maxBatchesThisRun: Int = Int.MaxValue,
+      seeds: Option[DataFrame] = None): Int = {
+    val fetchedT = new SnapshotTable(s"$tableRoot/fetched")
+    val seenT = new SnapshotTable(s"$tableRoot/seen")
+    // Resume correctness: the schedule is recomputed DETERMINISTICALLY
+    // from the seeds (same sort keys ⇒ same ranks ⇒ same batches), and
+    // already-committed batch ids are skipped. The seen snapshot is NOT
+    // fed back here — doing so would re-rank the remaining urls from
+    // batch 0 and change their order vs the uninterrupted run. The seen
+    // gate (planAll's seenSnapshot) serves *new* seed campaigns instead.
+    val scheduled = planAll(spark, cfg, seeds, None).persist()
+    try {
+      val batchIds = scheduled.select("batch_id").distinct()
+        .orderBy("batch_id").collect().map(_.getLong(0)) // small: ≤ max urls/host
+      val done = fetchedT.committedBatchIds
+      var processed = 0
+      batchIds.iterator.takeWhile(_ => processed < maxBatchesThisRun).foreach { b =>
+        if (!done.contains(b)) {
+          val batch = scheduled.filter(col("batch_id") === b)
+          val fetched = Fetch.fetchBatch(batch, store, cfg.numPartitions)
+          fetchedT.commit(fetched.drop("bytes"), batchId = b) // never snapshot payloads twice
+          seenT.commit(
+            batch.select(col("canonical_url"), lit(b).as("first_batch_id")), batchId = b)
+          processed += 1
+        }
+      }
+      processed
+    } finally scheduled.unpersist()
+  }
+
+  /** Deterministic crawl order as (canonical_url, batch_id, rank_in_batch),
+    * sorted — the golden-order comparison artifact. */
+  def crawlOrder(fetchLog: DataFrame): DataFrame =
+    fetchLog.select("canonical_url", "host", "batch_id", "rank_in_batch")
+      .orderBy("batch_id", "host", "rank_in_batch")
+}

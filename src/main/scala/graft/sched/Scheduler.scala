@@ -1,0 +1,86 @@
+package graft.sched
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Politeness scheduler: a per-host priority queue expressed as
+  * window-ranked micro-batches (north_rule). No driver-side queue — the
+  * entire schedule is one declarative plan:
+  *
+  *   rk       = row_number over (partition by host, order by priority,
+  *              seed_rank, canonical_url)          — deterministic total
+  *              order per host (Spark sort is not stable; the explicit
+  *              canonical_url tiebreak makes rank reproducible, SURVEY O1)
+  *   batch_id = (rk-1) / budget                    — host emits ≤budget
+  *              urls per micro-batch
+  *
+  * Reference-equivalence mode (csinsights/client/s2client.py:153-156 —
+  * strictly sequential fetches): `hostCol = lit("*")`, budget = 1 →
+  * batch_id == global rank == the reference's fetch index.
+  *
+  * Scale: the only shuffle is the window partition-by host. Host skew is
+  * real (Zipf) but the window does not need the whole host partition in
+  * memory at once (Spark windows spill); the *fetch* stage re-partitions
+  * by salted url hash so hot hosts do not serialize execution.
+  */
+object Scheduler {
+
+  /** Adds host, rk, batch_id, rank_in_batch to a canonical frontier. */
+  def schedule(
+      frontier: DataFrame, // canonical_url, host, priority, seed_rank
+      budgets: Option[DataFrame], // (host, budget); broadcast dim
+      defaultBudget: Int,
+      hostCol: Column = col("host")): DataFrame = {
+    val withBudget = budgets match {
+      case Some(b) =>
+        frontier.join(broadcast(b.select(col("host"), col("budget"))),
+            frontier("host") === b("host"), "left")
+          .drop(b("host"))
+          .withColumn("budget", coalesce(col("budget"), lit(defaultBudget)))
+      case None => frontier.withColumn("budget", lit(defaultBudget))
+    }
+    val w = Window.partitionBy(hostCol)
+      .orderBy(col("priority"), col("seed_rank"), col("canonical_url"))
+    withBudget
+      .withColumn("rk", row_number().over(w))
+      .withColumn("batch_id", ((col("rk") - 1) / col("budget")).cast("long"))
+      .withColumn("rank_in_batch", ((col("rk") - 1) % col("budget")).cast("int"))
+      .drop("budget")
+  }
+
+  /** robots.txt gate: drop urls whose path starts with a disallowed
+    * prefix for their host. `robots` is a small broadcast dimension
+    * (host, path_prefix, allowed); empty prefix = no restriction. */
+  def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    val path = regexp_replace(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    val r = robots.select(
+      col("host").as("__rhost"),
+      col("path_prefix").as("__prefix"),
+      col("allowed").as("__allowed"))
+    frontier
+      .withColumn("__path", path)
+      .join(broadcast(r), col("host") === col("__rhost"), "left")
+      .filter(
+        col("__prefix").isNull || col("__prefix") === "" ||
+        !(col("__path").startsWith(col("__prefix")) && !col("__allowed")))
+      .drop("__path", "__rhost", "__prefix", "__allowed")
+  }
+
+  /** Frontier dedup: first occurrence wins, where "first" is the
+    * deterministic schedule order (priority, seed_rank). Reference analog:
+    * seen-set admits the first corpusid encountered in file order
+    * (csinsights/data/s2processor.py:55-61). Single shuffle on
+    * canonical_url; min(struct(...)) does map-side partial aggregation. */
+  def dedupFrontier(frontier: DataFrame): DataFrame = {
+    frontier
+      .groupBy(col("canonical_url"))
+      .agg(min(struct(col("priority"), col("seed_rank"), col("host"), col("depth")))
+        .as("__first"))
+      .select(col("canonical_url"),
+        col("__first.priority").as("priority"),
+        col("__first.seed_rank").as("seed_rank"),
+        col("__first.host").as("host"),
+        col("__first.depth").as("depth"))
+  }
+}

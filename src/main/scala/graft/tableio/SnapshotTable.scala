@@ -1,0 +1,141 @@
+package graft.tableio
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-layout snapshot table: immutable Parquet data files + JSON
+  * snapshot manifests + an atomically-swapped HEAD pointer. Gives the
+  * north-rule properties — snapshots, per-partition lineage, idempotent
+  * batch commits, resumability, time-travel reads — without an Iceberg
+  * runtime jar (none is available offline; SURVEY.md §7). The layout is
+  * deliberately Iceberg-shaped so a real catalog can replace it.
+  *
+  * Reference analog: the `.json`-beside-`.xml.gz` parse cache whose
+  * presence = cache hit (csinsights/client/dblpclient.py:328-350), made
+  * transactional.
+  *
+  * Layout:
+  * {{{
+  *   root/
+  *     data/commit-<snapshotId>/part-*.parquet   (immutable)
+  *     snapshots/snapshot-<id>.json              (manifest: files + lineage)
+  *     HEAD                                      (current snapshot id; atomic rename)
+  * }}}
+  *
+  * Driver-side manifest writes are tiny (one JSON per commit); data files
+  * are written by executors via the normal Parquet sink, so commit cost is
+  * O(1) in data size.
+  */
+final class SnapshotTable(val root: String) {
+  private val rootP = Paths.get(root)
+  private val dataP = rootP.resolve("data")
+  private val snapP = rootP.resolve("snapshots")
+  private val headP = rootP.resolve("HEAD")
+
+  Files.createDirectories(dataP)
+  Files.createDirectories(snapP)
+
+  final case class Manifest(
+      id: Long,
+      parent: Long, // -1 for first
+      batchId: Long, // user-level idempotency key; -1 if unkeyed
+      files: Seq[String], // data files ADDED by this snapshot (relative)
+      rows: Long) // rows added
+
+  // ------------------------------------------------------------- reads --
+
+  def headId: Option[Long] =
+    if (Files.exists(headP)) Some(new String(Files.readAllBytes(headP), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def manifest(id: Long): Manifest = parseManifest(
+    new String(Files.readAllBytes(snapP.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+
+  /** All manifests from `id` back to the root, newest first. */
+  def chain(id: Long): Seq[Manifest] = {
+    val out = scala.collection.mutable.ArrayBuffer[Manifest]()
+    var cur = id
+    while (cur >= 0) { val m = manifest(cur); out += m; cur = m.parent }
+    out.toSeq
+  }
+
+  /** Live data files as of snapshot `id` (or HEAD). */
+  def liveFiles(asOf: Option[Long] = None): Seq[String] =
+    asOf.orElse(headId).map(id => chain(id).reverse.flatMap(_.files)).getOrElse(Nil)
+
+  /** Time-travel read: the table as of a snapshot. Empty-schema-safe:
+    * returns None when the table has no snapshots yet. */
+  def read(spark: SparkSession, asOf: Option[Long] = None): Option[DataFrame] = {
+    val files = liveFiles(asOf).map(f => rootP.resolve(f).toString)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** Has a commit with this batchId already landed? (resume idempotency) */
+  def committedBatchIds: Set[Long] =
+    headId.map(id => chain(id).map(_.batchId).filter(_ >= 0).toSet).getOrElse(Set.empty)
+
+  // ------------------------------------------------------------ writes --
+
+  /** Append `df` as a new snapshot. Skips (returning the existing head) if
+    * `batchId` already committed — restart-safe. */
+  def commit(df: DataFrame, batchId: Long = -1L): Long = synchronized {
+    val head = headId
+    if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
+    val id = head.map(_ + 1).getOrElse(0L)
+    val commitDir = dataP.resolve(s"commit-$id")
+    df.write.mode("errorifexists").parquet(commitDir.toString)
+    val files = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => rootP.relativize(p).toString).toSeq.sorted
+    val rows = 0L // row count is carried in parquet footers; avoid an extra job
+    writeAtomic(snapP.resolve(s"snapshot-$id.json"),
+      renderManifest(Manifest(id, head.getOrElse(-1L), batchId, files, rows)))
+    writeAtomic(headP, id.toString)
+    id
+  }
+
+  /** Delete data files not referenced by the last `keep` snapshots' full
+    * chains (K4 cache-GC analog). */
+  def expireSnapshots(keep: Int = 1): Unit = synchronized {
+    headId.foreach { h =>
+      val all = chain(h)
+      val live = all.flatMap(_.files).toSet // chain is cumulative; all files live
+      val keepIds = all.map(_.id).toSet
+      // snapshots not in the head chain (orphaned branches) → their files die
+      Files.list(snapP).iterator().asScala.toList.foreach { p =>
+        val name = p.getFileName.toString
+        val id = name.stripPrefix("snapshot-").stripSuffix(".json").toLong
+        if (!keepIds.contains(id)) {
+          val m = manifest(id)
+          m.files.filterNot(live.contains).foreach(f => Files.deleteIfExists(rootP.resolve(f)))
+          Files.deleteIfExists(p)
+        }
+      }
+    }
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Minimal hand-rolled JSON (manifest fields are numbers + sanitized
+  // relative paths we generate ourselves).
+  private def renderManifest(m: Manifest): String = {
+    val fs = m.files.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
+    s"""{"id":${m.id},"parent":${m.parent},"batchId":${m.batchId},"rows":${m.rows},"files":$fs}"""
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    def longField(k: String): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
+    val files = "\"files\":\\[(.*?)\\]".r.findFirstMatchIn(s).get.group(1)
+    val fs = if (files.isEmpty) Nil
+      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    Manifest(longField("id"), longField("parent"), longField("batchId"), fs, longField("rows"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Synth
+import graft.pipeline.CrawlPipeline
+import graft.refsim.ReferenceSim
+
+/** The north-rule equivalence gate: crawl order and URL-seen set must
+  * match the reference semantics exactly under the same seed list and
+  * politeness budget (BASELINE.md). The oracle is the pure-Scala
+  * ReferenceSim (SURVEY.md §5 — the reference itself has no tests).
+  */
+class CrawlOrderSpec extends SparkSpec {
+
+  private val N = 3000L
+
+  private def disallowMap: Map[String, String] =
+    (0 until Synth.NumHosts).filter(_ % 10 == 3)
+      .map(h => s"h$h.example.com" -> "/img/").toMap
+
+  test("reference-equivalence mode reproduces the sequential crawl order EXACTLY") {
+    val cfg = CrawlPipeline.Config(nUrls = N, referenceEquivalence = true, numPartitions = 8)
+    val scheduled = CrawlPipeline.planAll(spark, cfg)
+      .select("canonical_url", "batch_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._2)
+
+    val seedUrls = (0L until N).map(Synth.seedUrlOf)
+    val (golden, goldenSeen) = ReferenceSim.crawlSequential(seedUrls, disallowMap)
+
+    assert(scheduled.length == golden.length,
+      s"crawl length ${scheduled.length} != golden ${golden.length}")
+    scheduled.zip(golden).foreach { case ((cu, b), g) =>
+      assert(cu == g.canonicalUrl && b == g.batchId, s"order diverges at batch $b: $cu vs ${g.canonicalUrl}")
+    }
+    assert(scheduled.map(_._1).toSet == goldenSeen)
+  }
+
+  test("politeness mode matches the per-host budget rank rule") {
+    val budget = 3
+    val cfg = CrawlPipeline.Config(nUrls = N, budget = budget, numPartitions = 8)
+    val got = CrawlPipeline.planAll(spark, cfg)
+      .select("canonical_url", "host", "batch_id", "rank_in_batch")
+      .collect()
+      .map(r => ReferenceSim.Crawled(r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(c => (c.batchId, c.host, c.rankInBatch))
+
+    val seeds = (0L until N).map(i => (Synth.seedUrlOf(i), i, Synth.priorityOf(i)))
+    val golden = ReferenceSim.crawlPoliteness(seeds, budget, disallowMap)
+
+    assert(got.length == golden.length)
+    got.zip(golden).foreach { case (g, e) => assert(g == e, s"mismatch: $g vs $e") }
+  }
+
+  test("politeness invariant: no host exceeds its budget in any batch") {
+    val cfg = CrawlPipeline.Config(nUrls = N, budget = 2, numPartitions = 8)
+    val over = CrawlPipeline.planAll(spark, cfg)
+      .groupBy("host", "batch_id").count()
+      .filter(col("count") > 2)
+      .count()
+    assert(over == 0)
+  }
+
+  test("robots gate removes exactly the disallowed hosts") {
+    val cfg = CrawlPipeline.Config(nUrls = N, numPartitions = 8)
+    val hosts = CrawlPipeline.planAll(spark, cfg)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(hosts.forall(h => !disallowMap.contains(h)))
+  }
+
+  test("seen-snapshot gating: previously crawled urls never reappear") {
+    val cfg = CrawlPipeline.Config(nUrls = N, referenceEquivalence = true, numPartitions = 8)
+    val firstHalf = CrawlPipeline.planAll(spark, cfg)
+      .filter(col("batch_id") < 50)
+      .select("canonical_url")
+    val rest = CrawlPipeline.planAll(spark, cfg, seenSnapshot = Some(firstHalf))
+    val overlap = rest.join(firstHalf, Seq("canonical_url"), "left_semi").count()
+    assert(overlap == 0)
+  }
+}

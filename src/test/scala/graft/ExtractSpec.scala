@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extract
+import graft.functions.graftfns
+import graft.model.Synth
+import graft.pipeline.CrawlPipeline
+import graft.seen.BloomSeen
+
+/** Payload-invariant + expression tests (BASELINE.json input_hint:
+  * decoded-pixel PSNR≥40dB for lossy formats, bit-exact captions). */
+class ExtractSpec extends SparkSpec {
+
+  private val N = 500L
+  private lazy val docs = Synth.imageDocs(spark, N, 4)
+
+  test("custom expressions run inside codegen: phash/dims/format match the store columns") {
+    val meta = Extract.metadata(docs.toDF())
+    val bad = meta.filter(
+      col("dec_fmt") =!= col("fmt") ||
+      col("dec_w") =!= col("w") ||
+      col("dec_h") =!= col("h")).count()
+    assert(bad == 0)
+    // phash: exact for lossless decode; xjpg decodes quantized pixels, so
+    // the perceptual hash may drift a few bits — bound the hamming distance
+    val exactBad = meta.filter(col("fmt") =!= "xjpg" && col("dec_phash") =!= col("phash")).count()
+    assert(exactBad == 0)
+    val lossyFar = meta.filter(col("fmt") === "xjpg")
+      .filter(bit_count(col("dec_phash").bitwiseXOR(col("phash"))) > 8).count()
+    assert(lossyFar == 0)
+  }
+
+  test("payload invariant: PSNR >= 40dB for lossy fmt, +inf (bit-exact) for lossless") {
+    // re-encode pixels losslessly as reference, compare via psnr expression
+    import spark.implicits._
+    val ref = docs.map { d =>
+      val (px, w, h) = graft.imagecodec.ImageCodec.decode(d.bytes)
+      (d.image_id, graft.imagecodec.ImageCodec.encodePng(
+        graft.imagecodec.ImageCodec.syntheticPixels(Synth.pixelSeedOf(d.image_id.drop(3).toLong), w, h), w, h))
+    }.toDF("image_id", "ref_bytes")
+    val joined = docs.toDF().join(ref, "image_id")
+      .withColumn("p", graftfns.psnr(col("bytes"), col("ref_bytes")))
+    val lossyBad = joined.filter(col("fmt") === "xjpg" && col("p") < 40.0).count()
+    val losslessBad = joined.filter(col("fmt") =!= "xjpg" && !col("p").isNull && col("p") =!= Double.PositiveInfinity).count()
+    assert(lossyBad == 0, "lossy rows under 40dB")
+    assert(losslessBad == 0, "lossless rows not bit-exact")
+  }
+
+  test("captions survive the fetch pipeline bit-exactly") {
+    import spark.implicits._
+    val cfg = CrawlPipeline.Config(nUrls = N, budget = 4, numPartitions = 4, bloomBuckets = 4)
+    val fetched = CrawlPipeline.runAll(spark, cfg, docs.toDF())
+    val mismatches = fetched.filter(col("status") === 200).map { r =>
+      val id = r.getAs[String]("image_id").drop(3).toLong
+      val expected = Synth.captionOf(id)
+      if (r.getAs[String]("caption") == expected) 0 else 1
+    }.reduce(_ + _)
+    assert(mismatches == 0)
+  }
+
+  test("phash dedup finds the injected ~2% duplicate pixel groups") {
+    val meta = Extract.metadata(docs.toDF())
+    val groups = Extract.phashDupGroups(meta.withColumnRenamed("image_id", "image_id"))
+    assert(groups.count() > 0)
+  }
+
+  test("decodeStats mapPartitions path agrees with expression path") {
+    val stats = Extract.decodeStats(docs).toDF()
+      .select(col("image_id"), col("phash").as("stats_phash"))
+    val bad = stats.join(docs.toDF().select("image_id", "phash", "fmt"), "image_id")
+      .filter(col("fmt") =!= "xjpg") // lossless decode must agree exactly
+      .filter(col("stats_phash") =!= col("phash")).count()
+    assert(bad == 0)
+  }
+
+  test("bloom DF gate passes no seen urls and nearly all unseen (fp-bounded)") {
+    import spark.implicits._
+    val all = CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = N, numPartitions = 4))
+      .select("canonical_url")
+    val seen = all.filter(xxhash64(col("canonical_url")) % 2 === 0)
+    val shards = BloomSeen.buildShards(seen, numBuckets = 4)
+    val passed = BloomSeen.gateNotSeen(all, shards, numBuckets = 4)
+    // no false negatives: nothing in `seen` survives the gate
+    assert(passed.join(seen, Seq("canonical_url"), "left_semi").count() == 0)
+    // false positives bounded: survivors ≈ |unseen|
+    val unseen = all.join(seen, Seq("canonical_url"), "left_anti").count()
+    val got = passed.count()
+    assert(got >= unseen * 95 / 100, s"too many fp: $got of $unseen")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tableio.SnapshotTable
+
+class SnapshotTableSpec extends SparkSpec {
+
+  private def tmpTable(): SnapshotTable =
+    new SnapshotTable(Files.createTempDirectory("snaptest").toString)
+
+  test("commit/read round trip and cumulative snapshots") {
+    import spark.implicits._
+    val t = tmpTable()
+    assert(t.read(spark).isEmpty)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((3, "c")).toDF("id", "v"), batchId = 1)
+    val got = t.read(spark).get.as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("batchId commits are idempotent (restart replays are no-ops)") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 7)
+    val headBefore = t.headId
+    t.commit(Seq((99, "dup")).toDF("id", "v"), batchId = 7) // replay
+    assert(t.headId == headBefore)
+    assert(t.read(spark).get.count() == 1)
+    assert(t.committedBatchIds == Set(7L))
+  }
+
+  test("time-travel read sees the table as of an older snapshot") {
+    import spark.implicits._
+    val t = tmpTable()
+    val s0 = t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 1)
+    assert(t.read(spark, asOf = Some(s0)).get.count() == 1)
+    assert(t.read(spark).get.count() == 2)
+  }
+
+  test("manifest chain records lineage (id, parent, batchId)") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 10)
+    t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 11)
+    val chain = t.chain(t.headId.get)
+    assert(chain.map(_.batchId) == Seq(11L, 10L))
+    assert(chain.map(_.parent) == Seq(0L, -1L))
+    assert(chain.forall(_.files.nonEmpty))
+  }
+}
