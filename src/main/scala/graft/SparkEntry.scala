@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.canon.UrlCanon
-import graft.queries.{Fixture, OracleSql}
+import graft.queries.{DataOpsQueries, Fixture, OracleSql, RefOpsQueries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable oracle twin where the
@@ -29,7 +29,10 @@ object SparkEntry {
   private def decSum(c: String, as: String) =
     sum(col(c).cast(DecimalType(18, 6))).cast("double").as(as)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
+    RefOpsQueries.queries ++ DataOpsQueries.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------
     // A3/A1 hash aggregation (reference: s2processor.py:113-118 merge as
     // hash-agg; SURVEY.md §2.4). TPC-H Q1 shape — partial agg map-side.
@@ -99,10 +102,7 @@ object SparkEntry {
     // Exact dedup by content fingerprint (training-data op; md5 as the
     // exact-hash groupBy — reference analog A4 md5, dblpclient.py:53-69).
     "d1_dedup_exact" -> ((s, dir) => {
-      Fixture.documents(s, dir)
-        .select(md5(col("text").cast("binary")).as("fingerprint"), col("doc_id"))
-        .groupBy(col("fingerprint"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.ops.Dedup.exact(Fixture.documents(s, dir), "text", "doc_id")
     })
   )
 
@@ -149,5 +149,5 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin
-  )
+  ) ++ RefOpsQueries.oracle ++ DataOpsQueries.oracle
 }

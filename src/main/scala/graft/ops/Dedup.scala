@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All variants are shuffle-minimal and expressed over built-in
+  * (codegen'd) functions; nothing collects to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * One shuffle on a 16-byte key; partial agg map-side. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of a text column (lowercased), as an array column. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    // sliding k-grams via transform over index range
+    val n = greatest(size(toks) - (k - 1), lit(0))
+    transform(sequence(lit(0), n - 1), i =>
+      concat_ws(" ", slice(toks, i + 1, lit(k))))
+  }
+
+  /** MinHash signature (numHashes values) of a shingle array. Each hash
+    * family member h_i(x) = xxhash64(x, seed_i); min over shingles. Pure
+    * Column expression — stays in codegen, no UDF. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash+LSH near-dup candidate pairs:
+    * shingle → minhash(numBands*rowsPerBand) → band buckets → self-join
+    * within bucket. Scale shape: the only shuffle is the groupBy on
+    * (band, bucket-hash); candidate verification (exact jaccard) runs only
+    * on bucket collisions. Returns (id_a, id_b, band) candidate pairs,
+    * id_a < id_b, deduped across bands. */
+  def minhashLshCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+    // one row per band: (band, bucket = hash of the band's signature slice)
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))),
+            lit(0x1567)).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.band").as("band"))
+      .groupBy("id_a", "id_b").agg(min("band").as("first_band"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (the
+    * verify stage after LSH). pairs: (id_a, id_b). */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** SimHash-64 of the token multiset: per bit b, sum ±1 weighted by token
+    * hash bit, sign → bit. Expressed with built-ins only: for each bit, sum
+    * over tokens of (2*bit(h)-1), then pack via bitwise ops in a reduce. */
+  def simhash64(textCol: Column): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    // 64 per-bit counters folded into a packed long via aggregate
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit simhash into `numBands`
+    * equal slices (any band equal → candidate), verify by hamming distance
+    * ≤ maxHamming. More, narrower bands = higher recall at higher
+    * candidate volume (8×8 default: a pair with hamming ≤ 12 almost always
+    * leaves one byte untouched). */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, numBands: Int = 8): DataFrame = {
+    val bandBits = 64 / numBands
+    val mask = (1L << bandBits) - 1
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup: normalized dot products above threshold,
+    * restricted to LSH sign-buckets (random-hyperplane) so the self-join
+    * never goes quadratic. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val sigExpr = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
+    val a = withSig.as("a")
+    val b = withSig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

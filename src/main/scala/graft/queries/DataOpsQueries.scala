@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables (builder prompt: dedup family, similarity search, text
+  * analysis, multimodal plumbing) plus join/window headliners. Hash-based
+  * signatures (minhash/simhash/LSH) have no cross-engine oracle — those
+  * queries are rows-only; everything value-portable gets a DuckDB twin.
+  */
+object DataOpsQueries {
+
+  private def decSum(c: org.apache.spark.sql.Column, as: String) =
+    sum(c.cast(DecimalType(18, 6))).cast("double").as(as)
+
+  /** embedding quantized to exact integers (×1000) so dot products are
+    * integer-exact and the derived cosine is the SAME double in Spark and
+    * DuckDB (float-sum order would otherwise diverge). */
+  private def quantized(vec: org.apache.spark.sql.Column) =
+    transform(vec, e => round(e.cast("double") * 1000).cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- dedup family --
+    // d1 exact dedup lives in SparkEntry batch 1.
+
+    // MinHash+LSH near-dup candidates (rows-only check: hash family is
+    // engine-specific). Verified end-to-end in DedupSpec instead.
+    "d2_minhash_lsh" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val cands = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+      Dedup.jaccardVerify(docs, cands.select("id_a", "id_b"), "text", "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup candidates (rows-only).
+    "d3_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(Fixture.documents(s, dir), "text", "doc_id", maxHamming = 6)),
+
+    // Exact n-gram (token) Jaccard on deterministic consecutive pairs —
+    // integer numerator/denominator so the oracle hashes identically.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir)
+      val toks = array_remove(split(trim(lower(col("text"))), " "), "")
+      val t = d.select(col("doc_id"), array_distinct(toks).as("tok"))
+      val a = t.select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+      val b = t.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("tok_a"), col("tok_b"))).cast("long").as("jaccard_num"),
+          size(array_union(col("tok_a"), col("tok_b"))).cast("long").as("jaccard_den"))
+    }),
+
+    // Embedding cosine near-dup via hyperplane LSH buckets (rows-only).
+    // Random vectors have no real near-dups, so plant them: union the
+    // corpus with positively-scaled copies of vec_id<50 (cosine exactly 1,
+    // same LSH bucket) — the operator must recover every planted pair.
+    "d5_embed_neardup" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
+      graft.ops.Dedup.embeddingNearDup(emb.union(planted), "vec_id", "embedding", 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+    }),
+
+    // ------------------------------------------------ similarity search --
+    // Brute-force top-k cosine (exact ANN baseline) on quantized vectors —
+    // integer-exact dot/norms ⇒ bit-identical doubles ⇒ DuckDB oracle.
+    "d6_embed_topk" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      val scored = emb.join(broadcast(queriesDf), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Similarity.dot(col("qv"), col("q")) /
+            (sqrt(Similarity.dot(col("qv"), col("qv"))) * sqrt(Similarity.dot(col("q"), col("q")))))
+            .as("cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos6"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN (the 100TB scale path; rows-only — bucket hash is
+    // engine-specific). Recall vs brute force asserted in SimilaritySpec.
+    "d7_embed_ann" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+    }),
+
+    // ------------------------------------------------------ text analysis --
+    "t1_langid" -> ((s, dir) =>
+      Fixture.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langScore(col("text"), "en").as("score_en"),
+        TextAnalysis.langScore(col("text"), "de").as("score_de"),
+        TextAnalysis.langScore(col("text"), "es").as("score_es"),
+        TextAnalysis.langScore(col("text"), "fr").as("score_fr"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    "t2_quality" -> ((s, dir) =>
+      Fixture.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "t3_token_count" -> ((s, dir) =>
+      Fixture.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordEstimate(col("text")).as("n_subwords"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_subwords")).as("total_subwords"),
+          count(lit(1)).as("n_docs"))),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      Fixture.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // ---------------------------------------------------- multimodal stub --
+    // Binary-column plumbing: payload as opaque binary + typed metadata;
+    // the real decode is graft.imagecodec (tested in ExtractSpec); here the
+    // oracle-checkable part is the byte-level schema plumbing.
+    "m1_multimodal_meta" -> ((s, dir) =>
+      Fixture.documents(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("payload_bytes"),
+        md5(col("text").cast("binary")).as("payload_md5"),
+        (octet_length(col("text").cast("binary")) % 4).as("stub_channel"))),
+
+    // ------------------------------------------------- join/agg headliners --
+    // Broadcast-dim join + aggregation (TPC-H Q3-ish shape): the dim side
+    // must broadcast (verified in PlanSpec), the fact side never shuffles
+    // before the agg's own exchange.
+    "q2_join_agg" -> ((s, dir) => {
+      val li = Fixture.lineitem(s, dir)
+      val o = Fixture.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Multi-way star join through broadcastable dims.
+    "q3_star_join" -> ((s, dir) => {
+      val c = Fixture.customer(s, dir)
+      val n = Fixture.nation(s, dir)
+      val r = Fixture.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          decSum(col("c_acctbal"), "sum_acctbal"))
+    }),
+
+    // Event-time hourly windowed aggregation — the BATCH twin of the
+    // Structured Streaming query (StreamingSpec proves stream==batch);
+    // window() start aligns to the epoch hour = date_trunc.
+    "st1_window_agg" -> ((s, dir) =>
+      Fixture.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), "sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d4_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tok AS tok_a, b.tok AS tok_b
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b,
+        |  len(list_intersect(tok_a, tok_b)) AS jaccard_num,
+        |  len(tok_a) + len(tok_b) - len(list_intersect(tok_a, tok_b)) AS jaccard_den
+        |FROM p""".stripMargin,
+
+    "d6_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE) /
+        |    (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) *
+        |     sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE))) AS cos
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos6, rk FROM ranked WHERE rk <= 10""".stripMargin,
+
+    "t1_langid" -> TextOracle.langidSql,
+    "t2_quality" -> TextOracle.qualitySql,
+    "t3_token_count" -> TextOracle.tokenCountSql,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS payload_bytes,
+        |  md5(text) AS payload_md5,
+        |  octet_length(CAST(text AS BLOB)) % 4 AS stub_channel
+        |FROM documents""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q3_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "st1_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}
+
+/** DuckDB twins of the TextAnalysis Column expressions — kept mechanical:
+  * same length-difference occurrence counts, same constants. */
+object TextOracle {
+  private def occ(expr: String, pat: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$pat', ''))) / ${pat.length} AS BIGINT)"
+
+  private def scoreSql(lang: String): String = {
+    val markers = graft.ops.TextAnalysis.langMarkers(lang)
+    markers.map(m => occ("concat(' ', lower(text), ' ')", m)).mkString("(", " + ", ")")
+  }
+
+  val langidSql: String = {
+    val langs = graft.ops.TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(",\n  ")
+    // argmax with alphabetical-first tie-break == the Scala reduce order
+    val pred = langs.tail.foldLeft(s"struct_pack(s := score_${langs.head}, l := '${langs.head}')") {
+      (acc, l) => s"(CASE WHEN score_$l > ($acc).s THEN struct_pack(s := score_$l, l := '$l') ELSE $acc END)"
+    }
+    s"""WITH scored AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, score_en, score_de, score_es, score_fr,
+       |  ($pred).l AS pred_lang
+       |FROM scored""".stripMargin
+  }
+
+  private val normTextSql = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  private val tokenCountSql0 =
+    s"CASE WHEN length($normTextSql) = 0 THEN 0 ELSE ${occ(normTextSql, " ")} + 1 END"
+
+  val qualitySql: String = {
+    val toks = tokenCountSql0
+    val punct = s"(${occ("text", ".")} + ${occ("text", ",")} + ${occ("text", "!")})"
+    // literals cast to DOUBLE: a bare 0.4 is DECIMAL in DuckDB but DOUBLE
+    // in Spark, and the decimal sum would round differently
+    s"""SELECT doc_id, $toks AS n_tokens,
+       |  round(
+       |    (CASE WHEN length(text) >= 32 AND length(text) <= 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+       |    (CASE WHEN $toks >= 5 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
+       |    (CASE WHEN CAST($punct AS DOUBLE) / greatest(CAST($toks AS DOUBLE), CAST(1.0 AS DOUBLE)) <= CAST(0.3 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |  , 1) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  val tokenCountSql: String = {
+    val chars = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    val sub = s"greatest($tokenCountSql0, CAST(ceil(CAST($chars AS DOUBLE) / 4.0) AS BIGINT))"
+    s"""WITH pertoks AS (SELECT source, $tokenCountSql0 AS n_tokens, $sub AS n_subwords FROM documents)
+       |SELECT source, sum(n_tokens) AS total_tokens, sum(n_subwords) AS total_subwords,
+       |  count(*) AS n_docs
+       |FROM pertoks GROUP BY source""".stripMargin
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.fetch.Fetch
+import graft.sched.Scheduler
+import graft.tableio.SnapshotTable
+
+/** Structured-Streaming face of the engine.
+  *
+  * The politeness scheduler cannot use `row_number` on a streaming DF
+  * (unsupported), so ranking happens INSIDE each micro-batch via
+  * `foreachBatch` — which is also the deterministic commit point
+  * (SURVEY.md §7 hard part 5). Checkpointing = Spark's streaming
+  * checkpointLocation (offsets) + our snapshot tables (data), both
+  * idempotent per batch_id, so kill-and-restart resumes exactly.
+  */
+object Streaming {
+
+  /** Windowed event aggregation with watermark — the late-data shape the
+    * batch engine lacks (SURVEY §2.7). Returns the streaming DF; callers
+    * start it with their own sink/trigger. */
+  def windowedEventCounts(spark: SparkSession, eventsPath: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(eventsPath)
+      // watermarks require TIMESTAMP (parquet micros arrive as NTZ);
+      // session tz is pinned UTC so the instant labels match the batch twin
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Drain a seed-list directory as a stream of micro-batches: each
+    * arriving file set is canonicalized, robots-gated, deduped against the
+    * persistent seen snapshot, ranked within the micro-batch (budget per
+    * host), fetched, and committed. Trigger.AvailableNow = drain-the-
+    * frontier mode (reference: the monthly-release batch cadence,
+    * csinsights/client/dblpclient.py:485-486). */
+  def runCrawlStream(
+      spark: SparkSession,
+      seedsPath: String,
+      seedsSchema: StructType,
+      store: DataFrame,
+      tableRoot: String,
+      checkpoint: String,
+      budget: Int = 2,
+      numPartitions: Int = 8): Unit = {
+    import graft.canon.UrlCanon
+    val fetchedT = new SnapshotTable(s"$tableRoot/fetched")
+    val seenT = new SnapshotTable(s"$tableRoot/seen")
+
+    val stream = spark.readStream.schema(seedsSchema).parquet(seedsPath)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        if (fetchedT.committedBatchIds.contains(batchId)) () // idempotent replay
+        else {
+          val canon = batchDf.select(
+            UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+            UrlCanon.hostOf(col("url")).as("host"),
+            col("priority"), col("seed_rank"), lit(0).as("depth"))
+          val robots = Scheduler.robotsFilter(canon, graft.model.Synth.robotsRules(spark).toDF())
+          val deduped = Scheduler.dedupFrontier(robots)
+          val unseen = seenT.read(spark) match {
+            case Some(seen) => graft.seen.ExactSeen.notSeen(deduped, seen.select("canonical_url"))
+            case None => deduped
+          }
+          val ranked = Scheduler.schedule(unseen, None, budget)
+          val fetched = Fetch.fetchBatch(ranked, store, numPartitions)
+          fetchedT.commit(fetched.drop("bytes"), batchId = batchId)
+          seenT.commit(ranked.select(col("canonical_url"), lit(batchId).as("first_batch_id")),
+            batchId = batchId)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

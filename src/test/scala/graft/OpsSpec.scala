@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic tests for the training-data operators: planted duplicates
+  * must be found, ANN must approximate brute force, heuristics must move
+  * in the right direction. */
+class OpsSpec extends SparkSpec {
+
+  private def docsWithDups = {
+    import spark.implicits._
+    val base = (0 until 200).map { i =>
+      val words = (0 until 20).map(w => s"w${graft.imagecodec.ImageCodec.mix64(i * 31L + w) % 500}")
+      (i.toLong, words.mkString(" "))
+    }
+    // plant near-dups: docs 1000+i = doc i with ONE word changed
+    val nearDups = (0 until 20).map { i =>
+      val words = (0 until 20).map(w => if (w == 7) "CHANGED" else s"w${graft.imagecodec.ImageCodec.mix64(i * 31L + w) % 500}")
+      (1000L + i, words.mkString(" "))
+    }
+    (base ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH + jaccard verify recovers planted near-duplicates") {
+    val d = docsWithDups
+    val cands = Dedup.minhashLshCandidates(d, "text", "doc_id", k = 3, numBands = 8, rowsPerBand = 2)
+    val verified = Dedup.jaccardVerify(d, cands.select("id_a", "id_b"), "text", "doc_id", k = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    val found = expected.intersect(verified)
+    assert(found.size >= 16, s"LSH recall too low: ${found.size}/20 (got ${verified.size} pairs)")
+    // precision: no pair of unrelated base docs should pass jaccard 0.5
+    assert(verified.forall { case (a, b) => b - a == 1000 || a - b == 1000 },
+      s"false positives: ${verified.filterNot { case (a, b) => (b - a).abs == 1000 }}")
+  }
+
+  test("simhash candidates recover planted near-duplicates at small hamming") {
+    val d = docsWithDups
+    val got = Dedup.simhashCandidates(d, "text", "doc_id", maxHamming = 12, numBands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.intersect(got).size >= 16, s"simhash recall: ${expected.intersect(got).size}/20")
+  }
+
+  test("exact dedup groups identical texts only") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val groups = Dedup.exact(d, "text", "doc_id").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ANN topK approximates brute-force topK (recall@10 over planted queries)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annTopK(emb, queries, 10, planes = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall >= 0.3, s"ANN recall@10 = $recall (probing 1/4 of buckets + hamming-1)")
+    // exact-match sanity: a scaled copy of the query must rank #1 by cosine
+    import spark.implicits._
+    val q0 = emb.filter(col("vec_id") === 0)
+    val clone = q0.select(lit(99999L).as("vec_id"),
+      transform(col("embedding"), e => e * lit(2.0f)).as("embedding"), lit(0).as("label"))
+    val top1 = Similarity.bruteForceTopK(emb.select("vec_id", "embedding").union(clone.select("vec_id", "embedding")), q0, 1)
+      .collect().head
+    assert(top1.getAs[Long]("neighbor_id") == 99999L)
+    assert(math.abs(top1.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("language-ID picks the language whose markers dominate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze und der Vogel"),
+      (3L, "el gato y los perros y el raton")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es")
+  }
+
+  test("quality score: empty/short text scores lower than real text") {
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, "word"), (3L, "a reasonable sentence with several words and a period."))
+      .toDF("doc_id", "text")
+    val q = d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(3L) > q(2L) && q(2L) >= q(1L))
+  }
+
+  test("token counts: whitespace runs collapse, empty is zero") {
+    import spark.implicits._
+    val d = Seq((1L, "a  b\t c"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+}

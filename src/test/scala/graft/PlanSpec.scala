@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan shape assertions — the 100TB-readiness gates:
+  * broadcasts where intended, filters pushed to the parquet scan, no
+  * gratuitous shuffles (a wrong plan at sf0.01 is a catastrophic plan at
+  * 100 TB). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // Under AQE, materialized exchanges appear as (leaf) ShuffleQueryStage
+  // nodes in the final plan; plain exchanges appear pre-AQE. Count both.
+  private def countShuffles(p: SparkPlan): Int = {
+    val s = p.toString
+    "ShuffleQueryStage".r.findAllIn(s).size.max(
+      p.collect { case e: ShuffleExchangeLike => e }.size)
+  }
+
+  test("q3_star_join broadcasts both dimension tables (no shuffle join on facts)") {
+    val plan = planString(SparkEntry.queries("q3_star_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "star dims must not sort-merge")
+  }
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to parquet:\n${plan.take(2000)}")
+    // ReadSchema must not include unused columns like l_orderkey/l_partkey
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q1_agg does exactly one shuffle (partial agg map-side, final after exchange)") {
+    val p = executedPlan(SparkEntry.queries("q1_agg")(spark, dir))
+    assert(countShuffles(p) == 1, s"expected 1 shuffle:\n$p")
+    assert(p.toString.contains("HashAggregate"), "hash aggregation expected")
+  }
+
+  test("c1_canonicalize is shuffle-free (pure projection pipeline)") {
+    val p = executedPlan(SparkEntry.queries("c1_canonicalize")(spark, dir))
+    assert(countShuffles(p) == 0, s"projection must not shuffle:\n$p")
+  }
+
+  test("custom expressions stay inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Synth.imageDocs(spark, 100, 2).toDF()
+    val df = graft.extract.Extract.metadata(docs)
+      .select(sum(bit_count(col("dec_phash"))), sum(col("dec_w").cast("long")))
+    val plan = planString(df)
+    // AQE's final-plan rendering marks codegen stages with "*(n)"
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"),
+      s"no codegen span:\n$plan")
+    assert("\\*\\(\\d+\\) Project \\[decode_width".r.findFirstIn(plan).isDefined,
+      s"custom expressions fell out of the codegen stage:\n$plan")
+  }
+
+  test("politeness schedule = one shuffle for the window (plus scan-side exchange only)") {
+    val df = SparkEntry.queries("c5_politeness_rank")(spark, dir)
+    val p = executedPlan(df)
+    val shuffles = countShuffles(p)
+    assert(shuffles <= 1, s"rank stage should shuffle once, got $shuffles:\n$p")
+  }
+
+  test("seen anti-join under AQE avoids sort-merge on the small side") {
+    val plan = planString(SparkEntry.queries("c3_seen_antijoin")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      s"anti join picked a bad strategy:\n$plan")
+  }
+}
