@@ -41,20 +41,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One full crawl schedule+fetch over nUrls synthetic frontier entries;
-    * returns urls/sec. Payload store is nUrls/10 docs so the fetch join
-    * has both hits and misses. */
+  /** One full crawl schedule+fetch+extract over nUrls synthetic frontier
+    * entries; returns urls/sec. Payload store is nUrls/10 docs so the
+    * fetch join has both hits and misses.
+    *
+    * The action aggregates over bytes/md5/phash — NOT a bare count():
+    * count() of a left join is the left count, so Catalyst would
+    * legitimately eliminate the whole payload join and the bench would
+    * measure scheduling only. */
   private def frontierRun(spark: SparkSession, nUrls: Long, parts: Int): (Double, Long) = {
+    import org.apache.spark.sql.functions._
     val cfg = CrawlPipeline.Config(nUrls = nUrls, budget = 8,
       numPartitions = parts, bloomBuckets = parts)
     val store = Synth.imageDocs(spark, math.max(nUrls / 10, 1000), parts).toDF()
     var fetched = 0L
     val secs = time {
-      fetched = CrawlPipeline.runAll(spark, cfg, store,
+      val log = CrawlPipeline.runAll(spark, cfg, store,
         seenSnapshot = Some(
           CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = nUrls / 4,
             numPartitions = parts)).select("canonical_url")))
-        .count()
+      val row = log.agg(
+        count(lit(1)).as("rows"),
+        sum(octet_length(col("bytes"))).as("payload_bytes"),
+        sum(bit_count(graft.functions.graftfns.phash(col("bytes")))).as("phash_bits"),
+        count(col("md5")).as("ok")).head()
+      fetched = row.getLong(0)
     }
     (nUrls / secs, fetched)
   }
@@ -76,14 +87,18 @@ object Bench {
     }
 
     // -- frontier throughput at the session's parallelism ----------------
+    frontierRun(spark, benchUrls / 10, cpus) // JIT/codegen warm-up, untimed
     val (urlsPerSec, fetchedRows) = frontierRun(spark, benchUrls, cpus)
     spark.stop()
 
-    // -- scaling: same job, local[8] then local[32] ----------------------
+    // -- scaling: same job, local[8] then local[32], each after its own
+    //    warm-up run so JIT state doesn't distort the ratio ---------------
     val s8 = mkSession(8)
+    frontierRun(s8, benchUrls / 10, 8)
     val (thr8, _) = frontierRun(s8, benchUrls, 8)
     s8.stop()
     val s32 = mkSession(32)
+    frontierRun(s32, benchUrls / 10, 32)
     val (thr32, _) = frontierRun(s32, benchUrls, 32)
     s32.stop()
     val efficiency = (thr32 / thr8) / 4.0

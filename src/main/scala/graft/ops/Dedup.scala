@@ -44,8 +44,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+    // materialize the shingle array ONCE: inlining it into each of the
+    // numHashes signature lanes multiplies the codegen'd expression tree
+    // by numHashes (measured 120s→<1s at 16 lanes)
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // one row per band: (band, bucket = hash of the band's signature slice)
     val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -81,9 +84,13 @@ object Dedup {
   /** SimHash-64 of the token multiset: per bit b, sum ±1 weighted by token
     * hash bit, sign → bit. Expressed with built-ins only: for each bit, sum
     * over tokens of (2*bit(h)-1), then pack via bitwise ops in a reduce. */
-  def simhash64(textCol: Column): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash64(textCol: Column): Column =
+    simhash64FromHashes(transform(split(lower(trim(textCol)), "\\s+"), t => xxhash64(t)))
+
+  /** simhash from a MATERIALIZED token-hash array column — callers must
+    * project the hash array into its own column first, else the array
+    * expression is inlined into all 64 bit lanes (codegen blow-up). */
+  def simhash64FromHashes(hashes: Column): Column = {
     // 64 per-bit counters folded into a packed long via aggregate
     val bits = (0 until 64).map { b =>
       val cnt = aggregate(hashes, lit(0L),
@@ -102,7 +109,10 @@ object Dedup {
       maxHamming: Int = 3, numBands: Int = 8): DataFrame = {
     val bandBits = 64 / numBands
     val mask = (1L << bandBits) - 1
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val withSig = df
+      .select(col(idCol).as("id"),
+        transform(split(lower(trim(col(textCol))), "\\s+"), t => xxhash64(t)).as("h"))
+      .select(col("id"), simhash64FromHashes(col("h")).as("sig"))
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),

@@ -63,9 +63,14 @@ object CrawlPipeline {
         ExactSeen.notSeen(fast, seen)
       case None => spread
     }
-    val hostCol = if (cfg.referenceEquivalence) lit("*") else col("host")
-    val budget = if (cfg.referenceEquivalence) 1 else cfg.budget
-    Scheduler.schedule(gated, None, budget, hostCol)
+    if (cfg.referenceEquivalence) {
+      // sequential total order: single queue, budget 1 (banding would be a
+      // single degenerate band here — the semantics are serial by design)
+      Scheduler.schedule(gated, None, 1, lit("*"))
+    } else {
+      // banded rank kills the hot-host skew of the plain window
+      Scheduler.scheduleBanded(gated, None, cfg.budget)
+    }
   }
 
   /** One-shot execution of the full schedule + fetch. Returns the fetch

@@ -49,6 +49,63 @@ object Scheduler {
       .drop("budget")
   }
 
+  /** Skew-resistant variant of [[schedule]] for hot hosts (north_rule:
+    * "salted-hash partitioned to kill host-key skew"). A plain window
+    * partitioned by host puts a Zipf-hot host's entire frontier in ONE
+    * task — a serial fraction no cluster size can fix (measured: host 0
+    * carries ~22% of the synthetic frontier). Instead:
+    *
+    *   1. rank within (host, band) where band = the priority value — a
+    *      monotone prefix of the sort key, so band boundaries respect the
+    *      global per-host order;
+    *   2. count rows per (host, band) and prefix-sum the counts over bands
+    *      (a tiny hosts×bands aggregate);
+    *   3. global per-host rank = band offset + in-band rank.
+    *
+    * Bit-identical to the single-window rank (asserted in CrawlOrderSpec)
+    * but the hot host now spreads over (#bands) tasks.
+    *
+    * Requires an integral, bounded `priority` (ours is 0..99); falls back
+    * to [[schedule]] semantics otherwise.
+    */
+  def scheduleBanded(
+      frontier: DataFrame,
+      budgets: Option[DataFrame],
+      defaultBudget: Int): DataFrame = {
+    val wBand = Window.partitionBy(col("host"), col("priority"))
+      .orderBy(col("seed_rank"), col("canonical_url"))
+    val wBandAll = Window.partitionBy(col("host"), col("priority"))
+    // __r and __n ride the SAME exchange; the offsets branch below filters
+    // __r==1 from this same subplan, so ReuseExchange materializes the
+    // upstream (canon/dedup/gate) exactly once.
+    val inBand = frontier
+      .withColumn("__r", row_number().over(wBand))
+      .withColumn("__n", count(lit(1)).over(wBandAll))
+    val wOff = Window.partitionBy(col("__ohost")).orderBy(col("__oprio"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inBand.filter(col("__r") === 1)
+      .select(col("host").as("__ohost"), col("priority").as("__oprio"), col("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__ohost"), col("__oprio"), col("__off"))
+    val ranked = inBand
+      .join(broadcast(offsets),
+        col("host") === col("__ohost") && col("priority") === col("__oprio"))
+      .withColumn("rk", (col("__off") + col("__r")).cast("int"))
+      .drop("__r", "__n", "__off", "__ohost", "__oprio")
+    val withBudget = budgets match {
+      case Some(b) =>
+        ranked.join(broadcast(b.select(col("host").as("__bhost"), col("budget"))),
+            col("host") === col("__bhost"), "left")
+          .drop("__bhost")
+          .withColumn("budget", coalesce(col("budget"), lit(defaultBudget)))
+      case None => ranked.withColumn("budget", lit(defaultBudget))
+    }
+    withBudget
+      .withColumn("batch_id", ((col("rk") - 1) / col("budget")).cast("long"))
+      .withColumn("rank_in_batch", ((col("rk") - 1) % col("budget")).cast("int"))
+      .drop("budget")
+  }
+
   /** robots.txt gate: drop urls whose path starts with a disallowed
     * prefix for their host. `robots` is a small broadcast dimension
     * (host, path_prefix, allowed); empty prefix = no restriction. */

@@ -54,6 +54,20 @@ class CrawlOrderSpec extends SparkSpec {
     got.zip(golden).foreach { case (g, e) => assert(g == e, s"mismatch: $g vs $e") }
   }
 
+  test("banded rank is bit-identical to the single-window rank") {
+    import graft.sched.Scheduler
+    val f = CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = N, numPartitions = 8))
+      .select("canonical_url", "host", "priority", "seed_rank", "depth")
+    val plain = Scheduler.schedule(f, None, 3)
+      .select("canonical_url", "rk", "batch_id", "rank_in_batch")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    val banded = Scheduler.scheduleBanded(f, None, 3)
+      .select("canonical_url", "rk", "batch_id", "rank_in_batch")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(plain.length == banded.length)
+    plain.zip(banded).foreach { case (p, b) => assert(p == b, s"banded rank diverged: $p vs $b") }
+  }
+
   test("politeness invariant: no host exceeds its budget in any batch") {
     val cfg = CrawlPipeline.Config(nUrls = N, budget = 2, numPartitions = 8)
     val over = CrawlPipeline.planAll(spark, cfg)

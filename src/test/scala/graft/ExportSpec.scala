@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Export
+
+class ExportSpec extends SparkSpec {
+
+  test("jsonl.gz export round-trips (K2)") {
+    import spark.implicits._
+    val df = Seq((1L, "hello \"quoted\"", 2.5), (2L, "tab\there", -1.0))
+      .toDF("id", "s", "v")
+    val out = Files.createTempDirectory("jsonl").toString + "/t"
+    Export.toJsonlGz(df, out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), s"expected gzip parts: ${files.mkString(",")}")
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    assert(back.filter(col("id") === 1).head().getAs[String]("s") == "hello \"quoted\"")
+  }
+
+  test("csv export flattens structs into dotted columns (K3 json_normalize semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, ("a", 2)), (2L, ("b", 3))).toDF("id", "nested")
+      .select(col("id"), col("nested").cast("struct<x:string,y:int>").as("nested"))
+    val flat = Export.flattened(df)
+    assert(flat.columns.toSeq == Seq("id", "nested.x", "nested.y"))
+    val out = Files.createTempDirectory("csv").toString + "/t"
+    Export.toCsvGz(df, out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")))
+    // tab-separated + CRLF: inspect raw bytes of one part
+    val part = new java.io.File(out).listFiles().find(_.getName.endsWith(".csv.gz")).get
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(part))
+    val raw = new String(in.readAllBytes(), "UTF-8")
+    assert(raw.contains("\t"), "tab separator missing")
+    assert(raw.contains("\r\n"), "CRLF terminator missing")
+    assert(raw.linesIterator.next().trim == "id\tnested.x\tnested.y")
+  }
+
+  test("SQL-callable custom functions via GraftExtensions") {
+    // a fresh session with the extension (cannot mutate the shared one)
+    val s2 = spark.newSession()
+    graft.functions.GraftExtensions.register(s2)
+    graft.model.Synth.imageDocs(s2, 10, 1).toDF().createOrReplaceTempView("image_docs")
+    val row = s2.sql(
+      """SELECT image_id, phash(bytes) AS p, decode_width(bytes) AS w,
+        |  sniff_format(bytes) AS f, psnr(bytes, bytes) AS snr
+        |FROM image_docs WHERE image_id = 'img00000003'""".stripMargin).head()
+    assert(row.getAs[Int]("w") == graft.model.Synth.wOf(3))
+    assert(row.getAs[String]("f") == graft.model.Synth.fmtOf(3))
+    assert(row.getAs[Double]("snr").isPosInfinity)
+  }
+}
