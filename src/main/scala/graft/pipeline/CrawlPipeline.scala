@@ -55,7 +55,10 @@ object CrawlPipeline {
     val gated = seenSnapshot match {
       case Some(seen) =>
         val fast = if (cfg.useBloomPrefilter) {
-          val shards = BloomSeen.buildShards(seen, cfg.bloomBuckets)
+          // size shards from config (an eager count() here would execute
+          // the seen plan once extra at plan-construction time)
+          val shards = BloomSeen.buildShards(seen, cfg.bloomBuckets,
+            expectedPerShard = math.max(cfg.nUrls / cfg.bloomBuckets, 1024L))
           BloomSeen.gateNotSeen(spread, shards, cfg.bloomBuckets)
         } else spread
         // Bloom has false positives → exact anti-join confirms survivors.

@@ -164,6 +164,20 @@ object RefOpsQueries {
         .select(col("c_custkey"), col("k"), col("o1_rank"))
     }),
 
+    // S5/S6: schema-enforced ingest — from_json with an EXPLICIT schema in
+    // FAILFAST mode (the reference's DTD-validated parse path,
+    // dblpclient.py:472-479, and the "never infer in the hot path" rule of
+    // SURVEY §1.2). A malformed props row would fail the job, not corrupt.
+    "c19_json_ingest" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      Fixture.events(s, dir)
+        .withColumn("parsed", from_json(col("props"), schema,
+          Map("mode" -> "FAILFAST")))
+        .select(col("event_id"), col("parsed.k").as("k"))
+    }),
+
     // A1 incremental distinct: per-source running distinct-doc count in
     // file order (seen-set growth across files, s2processor.py:55-61).
     "c18_seen_growth" -> ((s, dir) => {
@@ -273,6 +287,10 @@ object RefOpsQueries {
         |SELECT c_custkey, k,
         |  row_number() OVER (ORDER BY (k IS NOT NULL), k, c_custkey) AS o1_rank
         |FROM c""".stripMargin,
+
+    "c19_json_ingest" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "c18_seen_growth" ->
       """SELECT source, doc_id,

@@ -15,23 +15,9 @@ package graft.seen
 final class Bloom(val bits: Array[Long], val numHashes: Int) extends Serializable {
   def numBits: Long = bits.length.toLong * 64
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  @inline private def mix(z0: Long): Long = Bloom.mixStatic(z0)
 
-  def put(key: Long): Unit = {
-    val h1 = mix(key)
-    val h2 = mix(key ^ 0xdeadbeefcafe1234L) | 1L
-    var i = 0
-    while (i < numHashes) {
-      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
-      bits((pos >>> 6).toInt) |= (1L << (pos & 63))
-      i += 1
-    }
-  }
+  def put(key: Long): Unit = Bloom.putInto(bits, numBits, numHashes, key)
 
   def mightContain(key: Long): Boolean = {
     val h1 = mix(key)
@@ -81,6 +67,27 @@ object Bloom {
     var i = 0
     while (i < out.length) { out(i) = a.bits(i) | b.bits(i); i += 1 }
     new Bloom(out, a.numHashes)
+  }
+
+  /** Single source of truth for the insert bit pattern — shared by
+    * Bloom.put and BloomAggregator.reduce (whose buffer carries an extra
+    * count slot and therefore cannot wrap itself in a Bloom). */
+  def putInto(bits: Array[Long], numBits: Long, numHashes: Int, key: Long): Unit = {
+    val h1 = mixStatic(key)
+    val h2 = mixStatic(key ^ 0xdeadbeefcafe1234L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
+      bits((pos >>> 6).toInt) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  @inline def mixStatic(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   /** static hooks for codegen'd expressions (see BloomMightContain). */

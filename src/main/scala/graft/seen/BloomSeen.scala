@@ -29,45 +29,36 @@ object BloomSeen {
   def bucketCol(canonicalUrl: org.apache.spark.sql.Column, numBuckets: Int, salt: Long) =
     UrlCanon.saltedBucket(canonicalUrl, salt, numBuckets).cast("int")
 
-  /** Build shards with a per-bucket fold: one shuffle (groupByKey on
-    * bucket), executors stream keys into the filter — the driver never
-    * sees a url. `expectedPerBucket` sizes each shard. */
+  /** Build shards via a typed [[BloomAggregator]]: partial bloom buffers
+    * are built map-side per input partition, so the one shuffle moves only
+    * (numBuckets × inputPartitions) fixed-size bit arrays — never the
+    * 10^10 keys themselves. The driver never sees a url.
+    *
+    * `expectedPerShard` sizes every shard identically (required for
+    * OR-mergeability); default assumes the caller bucketed so that each
+    * shard holds ~seen/numBuckets keys. Pass the real per-shard
+    * cardinality at production scale.
+    */
   def buildShards(
       seen: DataFrame, // col: canonical_url
       numBuckets: Int,
       fpp: Double = 1e-4,
-      salt: Long = DefaultSalt): Dataset[BloomShard] = {
+      salt: Long = DefaultSalt,
+      expectedPerShard: Long = 0L): Dataset[BloomShard] = {
     val spark = seen.sparkSession
     import spark.implicits._
+    val expect =
+      if (expectedPerShard > 0) expectedPerShard
+      else math.max(seen.count() / numBuckets + 1, 1024L) // one cheap count job
     val keyed = seen
       .select(
         bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
         UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
       .as[(Int, Long)]
-    // Aggregator-style per-group fold; mapGroups streams the iterator so
-    // memory per task = one Bloom shard, independent of group size.
-    keyed.groupByKey(_._1).mapGroups { (bucket, rows) =>
-      var n = 0L
-      var bloom: Bloom = null
-      var pending = List.empty[Long] // keys seen before sizing
-      val it = rows.map(_._2)
-      // size lazily: buffer up to 1<<20 keys, then size for 4x that
-      val buf = new scala.collection.mutable.ArrayBuffer[Long]()
-      var sized = false
-      it.foreach { k =>
-        if (!sized) {
-          buf += k
-          if (buf.length >= (1 << 20)) {
-            bloom = Bloom.create(buf.length.toLong * 4, fpp)
-            buf.foreach(bloom.put); buf.clear(); sized = true
-          }
-        } else bloom.put(k)
-        n += 1
-      }
-      if (!sized) { bloom = Bloom.create(math.max(buf.length, 1), fpp); buf.foreach(bloom.put) }
-      pending = Nil
-      BloomShard(bucket, bloom.serialize(), n)
-    }
+    val agg = new BloomAggregator(expect, fpp).toColumn
+    keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg)
+      .map { case (bucket, (blob, n)) => BloomShard(bucket, blob, n) }
   }
 
   /** Filter `candidates` (must carry canonical_url) down to rows the Bloom

@@ -39,6 +39,17 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(spark).get.count() == 2)
   }
 
+  test("expireSnapshots removes orphaned branches, keeps the live chain (K4 GC)") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 1)
+    val before = t.read(spark).get.count()
+    t.expireSnapshots()
+    assert(t.read(spark).get.count() == before, "live data must survive GC")
+    assert(t.chain(t.headId.get).size == 2)
+  }
+
   test("manifest chain records lineage (id, parent, batchId)") {
     import spark.implicits._
     val t = tmpTable()
