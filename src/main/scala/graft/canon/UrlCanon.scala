@@ -31,32 +31,17 @@ object UrlCanon {
   /** url minus `#fragment` (prefix before the first '#'). */
   def stripFragment(url: Column): Column = substring_index(url, "#", 1)
 
-  def canonicalUrl(url: Column): Column = {
-    val nofrag = stripFragment(url)
-    val sep = instr(nofrag, "://") // 0 when there is no scheme
-    val afterScheme = nofrag.substr(sep + 3, length(nofrag))
-    val slashPos = instr(afterScheme, "/")
-    // prefix = scheme://host[:port]  ("" when no scheme, like the regex)
-    val prefixLen = when(sep === 0, lit(0))
-      .otherwise(sep + 2 + when(slashPos === 0, length(afterScheme)).otherwise(slashPos - 1))
-    val pre = lower(nofrag.substr(lit(1), prefixLen))
-    val noPort = when(pre.endsWith(":443"), pre.substr(lit(1), length(pre) - 4))
-      .when(pre.endsWith(":80"), pre.substr(lit(1), length(pre) - 3))
-      .otherwise(pre)
-    val rest = nofrag.substr(prefixLen + 1, length(nofrag))
-    concat(noPort, rest)
-  }
+  def canonicalUrl(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CanonicalUrlExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
 
-  /** lowercase host (no port) of a url: chars after '://' up to the first
-    * of '/', '?', ':' (or '#', already excluded via stripFragment). */
-  def hostOf(url: Column): Column = {
-    val nofrag = stripFragment(url)
-    val sep = instr(nofrag, "://")
-    val afterScheme = nofrag.substr(sep + 3, length(nofrag))
-    when(sep === 0, lit(""))
-      .otherwise(lower(
-        substring_index(substring_index(substring_index(afterScheme, "/", 1), "?", 1), ":", 1)))
-  }
+  /** lowercase host (no port): chars after '://' up to the first of
+    * '/', '?', ':' ('#' excluded by the fragment strip). */
+  def hostOf(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.HostOfExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
 
   /** filename component (reference analog F9: `url.rpartition("/")[-1]`,
     * csinsights/client/dblpclient.py:308-317). */

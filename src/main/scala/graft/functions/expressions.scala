@@ -114,6 +114,45 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** bloom_probe(bucket, key) against a BROADCAST shard map — the fast gate:
+  * no join, no per-row blob materialization (joining the serialized shard
+  * in as a column re-copies the 100KB+ byte array per row out of the
+  * UnsafeRow — measured 6.7s of pure memcpy on a 2M-row gate). The
+  * broadcast is referenced from generated code via addReferenceObj; each
+  * executor deserializes each shard exactly once (lazy in BloomShardMap).
+  */
+case class BloomProbeExpr(left: Expression, right: Expression,
+    shards: org.apache.spark.broadcast.Broadcast[BloomShardMap])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT bucket, BIGINT key)")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(bucket: Any, key: Any): Any =
+    shards.value.mightContain(bucket.asInstanceOf[Int], key.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomShards", shards,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"((graft.functions.BloomShardMap) $ref.value()).mightContain($b, $k)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomProbeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bloom_probe"
+}
+
+/** Broadcast payload: serialized shards, deserialized lazily once per
+  * executor (the broadcast value is shared across that executor's tasks). */
+final class BloomShardMap(serialized: Map[Int, Array[Byte]]) extends Serializable {
+  @transient private lazy val blooms: Map[Int, Bloom] =
+    serialized.map { case (b, blob) => b -> Bloom.deserialize(blob) }
+  def mightContain(bucket: Int, key: Long): Boolean =
+    blooms.get(bucket) match {
+      case Some(bloom) => bloom.mightContain(key)
+      case None => false // no shard for this bucket → definitely not seen
+    }
+}
+
 /** Static helpers invoked from generated code — keep JVM-static and
   * allocation-light. */
 object GraftExprHelpers {
@@ -146,4 +185,40 @@ object graftfns {
   def psnr(a: Column, b: Column): Column = Bridge.column(PsnrExpr(Bridge.expression(a), Bridge.expression(b)))
   def bloomMightContain(blob: Column, key: Column): Column =
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
+}
+
+/** canonical_url(url): compact codegen'd canonicalization — see
+  * graft.canon.UrlCanonImpl for why this is a kernel expression rather
+  * than Column arithmetic (64KB codegen blow-up). */
+case class CanonicalUrlExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.canon.UrlCanonImpl.canonicalize(input.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.canon.UrlCanonImpl.canonicalize($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrlExpr =
+    copy(child = newChild)
+  override def prettyName: String = "canonical_url"
+}
+
+/** url_host(url): lowercase host component (kernel twin of CanonicalUrlExpr). */
+case class HostOfExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.canon.UrlCanonImpl.host(input.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.canon.UrlCanonImpl.host($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): HostOfExpr =
+    copy(child = newChild)
+  override def prettyName: String = "url_host"
 }

@@ -54,15 +54,32 @@ object Synth {
   }
 
   /** Zipf-skewed host assignment — host 0 is hot (FIXTURES.md §2), which
-    * exercises AQE skew handling and the salted partitioner. */
+    * exercises AQE skew handling and the salted partitioner.
+    * CDF precomputed once + binary search: this runs per frontier url, and
+    * the original per-call harmonic loop was the top CPU consumer of the
+    * whole 2M-url bench. Host strings are interned in a lookup table. */
+  private lazy val zipfCdf: Array[Double] = {
+    val hN = (1 to NumHosts).map(1.0 / _).sum
+    val cdf = new Array[Double](NumHosts)
+    var acc = 0.0
+    var h = 1
+    while (h <= NumHosts) { acc += 1.0 / (h * hN); cdf(h - 1) = acc; h += 1 }
+    cdf
+  }
+  private lazy val hostNames: Array[String] =
+    (0 until NumHosts).map(h => s"h$h.example.com").toArray
+
   def hostOf(i: Long): String = {
     val z = ImageCodec.mix64(Seed ^ (i * 31)) >>> 1
-    // approximate Zipf(s=1) over NumHosts via inverse-CDF on harmonic buckets
     val u = (z % 1000000L).toDouble / 1000000.0
-    val hN = (1 to NumHosts).map(1.0 / _).sum
-    var acc = 0.0; var hIdx = 1
-    while (hIdx <= NumHosts && acc + 1.0 / (hIdx * hN) < u) { acc += 1.0 / (hIdx * hN); hIdx += 1 }
-    s"h${math.min(hIdx, NumHosts) - 1}.example.com"
+    // first index with cdf >= u — identical result to the original linear
+    // scan (which advanced while acc + p(h) < u)
+    var lo = 0; var hi = NumHosts - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (zipfCdf(mid) < u) lo = mid + 1 else hi = mid
+    }
+    hostNames(lo)
   }
 
   def urlOf(i: Long): String = s"https://${hostOf(i)}/img/${imageIdOf(i)}.${fmtOf(i)}"

@@ -32,7 +32,8 @@ object CrawlPipeline {
       referenceEquivalence: Boolean = false, // budget-1 single-queue total order
       numPartitions: Int = 32,
       bloomBuckets: Int = 32,
-      useBloomPrefilter: Boolean = true)
+      useBloomPrefilter: Boolean = true,
+      bandedSchedule: Boolean = false)
 
   /** Canonicalized, robots-gated, deduped frontier with schedule columns.
     * Pure plan — nothing executed. */
@@ -54,25 +55,24 @@ object CrawlPipeline {
       UrlCanon.saltedKey(col("canonical_url"), BloomSeen.DefaultSalt))
     val gated = seenSnapshot match {
       case Some(seen) =>
-        val fast = if (cfg.useBloomPrefilter) {
-          // size shards from config (an eager count() here would execute
-          // the seen plan once extra at plan-construction time)
-          val shards = BloomSeen.buildShards(seen, cfg.bloomBuckets,
+        if (cfg.useBloomPrefilter)
+          // exact semantics with a Bloom fast path: negatives skip the
+          // join entirely; positives are confirmed by the exact anti-join
+          BloomSeen.notSeenExactWithBloomFastPath(spread, seen, cfg.bloomBuckets,
             expectedPerShard = math.max(cfg.nUrls / cfg.bloomBuckets, 1024L))
-          BloomSeen.gateNotSeen(spread, shards, cfg.bloomBuckets)
-        } else spread
-        // Bloom has false positives → exact anti-join confirms survivors.
-        // The Bloom pass shrinks the exact join's probe side by ~|seen∩cand|.
-        ExactSeen.notSeen(fast, seen)
+        else ExactSeen.notSeen(spread, seen)
       case None => spread
     }
     if (cfg.referenceEquivalence) {
-      // sequential total order: single queue, budget 1 (banding would be a
-      // single degenerate band here — the semantics are serial by design)
+      // sequential total order: single queue, budget 1
       Scheduler.schedule(gated, None, 1, lit("*"))
-    } else {
-      // banded rank kills the hot-host skew of the plain window
+    } else if (cfg.bandedSchedule) {
+      // two-level banded rank: use when a hot host's partition exceeds
+      // what one task should hold (10^10 regime); at small scale the
+      // extra pass costs more than the skew it removes
       Scheduler.scheduleBanded(gated, None, cfg.budget)
+    } else {
+      Scheduler.schedule(gated, None, cfg.budget)
     }
   }
 
@@ -121,6 +121,26 @@ object CrawlPipeline {
       }
       processed
     } finally scheduled.unpersist()
+  }
+
+  /** Input per BASELINE.json input_hint: an Iceberg(-layout) table of
+    * image+caption rows IS the corpus; the crawl seeds derive from it.
+    * Materializes the synthetic corpus into a [[SnapshotTable]] on first
+    * call (idempotent), then returns (store table, seed list) — store read
+    * through snapshot manifests, seeds via a typed map over `image_id`
+    * (Dataset API, no RDD). */
+  def seedFromImageTable(spark: SparkSession, tableRoot: String, n: Long,
+      partitions: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val t = new SnapshotTable(tableRoot)
+    if (t.headId.isEmpty)
+      t.commit(Synth.imageDocs(spark, n, partitions).toDF(), batchId = 0L)
+    val store = t.read(spark).get
+    val seeds = store.select(col("image_id")).as[String].map { id =>
+      val i = id.stripPrefix("img").toLong
+      graft.model.SeedRow(Synth.seedUrlOf(i), i, Synth.priorityOf(i))
+    }.toDF()
+    (store, seeds)
   }
 
   /** Deterministic crawl order as (canonical_url, batch_id, rank_in_batch),

@@ -80,17 +80,23 @@ final class SnapshotTable(val root: String) {
   // ------------------------------------------------------------ writes --
 
   /** Append `df` as a new snapshot. Skips (returning the existing head) if
-    * `batchId` already committed — restart-safe. */
+    * `batchId` already committed — restart-safe. The committed row count
+    * is captured with `observe` on the same write action (no extra job)
+    * and recorded in the manifest — the north rule's per-commit lineage
+    * metrics. */
   def commit(df: DataFrame, batchId: Long = -1L): Long = synchronized {
     val head = headId
     if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
     val id = head.map(_ + 1).getOrElse(0L)
     val commitDir = dataP.resolve(s"commit-$id")
-    df.write.mode("errorifexists").parquet(commitDir.toString)
+    val obs = org.apache.spark.sql.Observation(s"commit-$id")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("errorifexists").parquet(commitDir.toString)
+    val rows = obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => rootP.relativize(p).toString).toSeq.sorted
-    val rows = 0L // row count is carried in parquet footers; avoid an extra job
     writeAtomic(snapP.resolve(s"snapshot-$id.json"),
       renderManifest(Manifest(id, head.getOrElse(-1L), batchId, files, rows)))
     writeAtomic(headP, id.toString)

@@ -84,6 +84,39 @@ class CrawlOrderSpec extends SparkSpec {
     assert(hosts.forall(h => !disallowMap.contains(h)))
   }
 
+  test("Iceberg-layout image table as input: table-derived seeds crawl identically") {
+    val root = java.nio.file.Files.createTempDirectory("imgtable").toString
+    val (store, seeds) = CrawlPipeline.seedFromImageTable(spark, root, 500L, 4)
+    assert(store.count() == 500 && seeds.count() == 500)
+    val cfg = CrawlPipeline.Config(nUrls = 500L, referenceEquivalence = true, numPartitions = 4)
+    val fromTable = CrawlPipeline.planAll(spark, cfg, seeds = Some(seeds))
+      .select("canonical_url", "batch_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val fromSynth = CrawlPipeline.planAll(spark, cfg)
+      .select("canonical_url", "batch_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(fromTable.toSeq == fromSynth.toSeq)
+    // lineage metrics: the corpus commit recorded its row count
+    val t = new graft.tableio.SnapshotTable(root)
+    assert(t.manifest(t.headId.get).rows == 500L)
+  }
+
+  test("bloom fast path is EXACTLY equal to the pure exact anti-join (fp-proof)") {
+    // high fpp (1%) so bloom false positives certainly occur; the split
+    // (negatives pass, positives exactly confirmed) must not lose them
+    import graft.seen.{BloomSeen, ExactSeen}
+    val all = CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = 20000L, numPartitions = 8))
+      .select("canonical_url", "seed_rank")
+    val seen = all.filter(col("seed_rank") % 3 === 0).select("canonical_url")
+    val viaBloom = BloomSeen.notSeenExactWithBloomFastPath(all, seen, numBuckets = 8, fpp = 0.01)
+      .select("canonical_url").collect().map(_.getString(0)).sorted
+    val exact = ExactSeen.notSeen(all, seen)
+      .select("canonical_url").collect().map(_.getString(0)).sorted
+    assert(viaBloom.length == exact.length,
+      s"bloom fast path lost/added rows: ${viaBloom.length} vs ${exact.length}")
+    assert(viaBloom.sameElements(exact))
+  }
+
   test("seen-snapshot gating: previously crawled urls never reappear") {
     val cfg = CrawlPipeline.Config(nUrls = N, referenceEquivalence = true, numPartitions = 8)
     val firstHalf = CrawlPipeline.planAll(spark, cfg)

@@ -74,6 +74,24 @@ class ExtractSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("md5 integrity split quarantines corrupted payloads without failing the job") {
+    import spark.implicits._
+    val cfg = CrawlPipeline.Config(nUrls = 100L, budget = 4, numPartitions = 4, bloomBuckets = 4)
+    val fetched = CrawlPipeline.runAll(spark, cfg, docs.toDF()).filter(col("status") === 200)
+    // expected digests: correct except every 5th image corrupted on purpose
+    val expected = docs.map { d =>
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(d.bytes)
+        .map("%02x".format(_)).mkString
+      val idx = d.image_id.stripPrefix("img").toLong
+      (d.image_id, if (idx % 5 == 0) "0" * 32 else md5)
+    }.toDF("image_id", "expected_md5")
+    val (ok, quarantined) = graft.fetch.Fetch.integritySplit(fetched, expected)
+    val nOk = ok.count(); val nQ = quarantined.count()
+    assert(nQ > 0, "corrupted rows must be quarantined")
+    assert(nOk + nQ == fetched.count())
+    assert(quarantined.filter(!col("image_id").substr(4, 8).cast("long").mod(5).equalTo(0)).count() == 0)
+  }
+
   test("bloom DF gate passes no seen urls and nearly all unseen (fp-bounded)") {
     import spark.implicits._
     val all = CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = N, numPartitions = 4))
