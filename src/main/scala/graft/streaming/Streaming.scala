@@ -35,6 +35,45 @@ object Streaming {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-host crawl-state row for the stateful politeness limiter. */
+  final case class HostState(granted: Long, deferred: Long)
+  final case class GrantDecision(host: String, canonical_url: String,
+      granted: Boolean, host_total_granted: Long)
+
+  /** Stateful per-host admission over a STREAM of frontier candidates:
+    * each host keeps a running grant count in
+    * `flatMapGroupsWithState`-managed state and admits at most
+    * `budgetPerBatch` urls per micro-batch, deferring the rest — the
+    * custom-state form of the politeness budget (the window-rank form
+    * lives in [[graft.sched.Scheduler]]; this one survives across batches
+    * in the state store and so enforces budgets over TIME, which a
+    * per-batch window cannot).
+    *
+    * Determinism: within a batch, grants go to the lexicographically
+    * smallest canonical urls (state stores only counters, so admission
+    * must not depend on arrival order).
+    */
+  def statefulHostLimiter(
+      candidates: org.apache.spark.sql.Dataset[(String, String)], // (host, canonical_url)
+      budgetPerBatch: Int): org.apache.spark.sql.Dataset[GrantDecision] = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    candidates
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, rows: Iterator[(String, String)], state: GroupState[HostState]) => {
+          val st = state.getOption.getOrElse(HostState(0L, 0L))
+          val urls = rows.map(_._2).toVector.sorted
+          val granted = urls.take(budgetPerBatch)
+          val deferred = urls.drop(budgetPerBatch)
+          state.update(HostState(st.granted + granted.size, st.deferred + deferred.size))
+          val base = st.granted
+          granted.zipWithIndex.iterator.map { case (u, i) =>
+            GrantDecision(host, u, granted = true, base + i + 1)
+          } ++ deferred.iterator.map(u => GrantDecision(host, u, granted = false, base + granted.size))
+        })
+  }
+
   /** Drain a seed-list directory as a stream of micro-batches: each
     * arriving file set is canonicalized, robots-gated, deduped against the
     * persistent seen snapshot, ranked within the micro-batch (budget per

@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stateful host limiter grants budget per micro-batch, state persists across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = Streaming.statefulHostLimiter(input.toDS(), budgetPerBatch = 2)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("limiter").start()
+
+    input.addData(("h0", "u3"), ("h0", "u1"), ("h0", "u2"), ("h1", "u9"))
+    q.processAllAvailable()
+    input.addData(("h0", "u4"), ("h0", "u5"), ("h0", "u6"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("limiter").as[Streaming.GrantDecision].collect()
+    val h0b1 = rows.filter(r => r.host == "h0" && Set("u1", "u2", "u3")(r.canonical_url))
+    // batch 1: lexicographically smallest two granted, third deferred
+    assert(h0b1.filter(_.granted).map(_.canonical_url).sorted.toSeq == Seq("u1", "u2"))
+    assert(h0b1.filter(!_.granted).map(_.canonical_url).toSeq == Seq("u3"))
+    assert(rows.find(_.canonical_url == "u9").get.granted)
+    // batch 2: state carried — grant counter continues from 2
+    val h0b2 = rows.filter(r => r.host == "h0" && Set("u4", "u5", "u6")(r.canonical_url))
+    assert(h0b2.filter(_.granted).map(_.canonical_url).sorted.toSeq == Seq("u4", "u5"))
+    assert(h0b2.filter(_.granted).map(_.host_total_granted).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("crawl stream drains seed files via foreachBatch and resumes idempotently") {
     import spark.implicits._
     val n = 300L
