@@ -35,7 +35,9 @@ object GraftExtensions {
     ("psnr", "psnr(a, b) - PSNR in dB between two encoded images",
       args => PsnrExpr(args.head, args(1))),
     ("bloom_might_contain", "bloom_might_contain(blob, key) - Bloom shard membership probe",
-      args => BloomMightContainExpr(args.head, args(1))))
+      args => BloomMightContainExpr(args.head, args(1))),
+    ("resize_nn", "resize_nn(bytes, w, h) - nearest-neighbor resize, re-encoded in the same format",
+      args => ResizeExpr(args.head, args(1), args(2))))
 
   /** Register on a live session (the withExtensions path requires building
     * a brand-new session; this one works on an existing/new-child one). */

@@ -185,6 +185,8 @@ object graftfns {
   def psnr(a: Column, b: Column): Column = Bridge.column(PsnrExpr(Bridge.expression(a), Bridge.expression(b)))
   def bloomMightContain(blob: Column, key: Column): Column =
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
+  def resizeNN(bytes: Column, w: Column, h: Column): Column =
+    Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
 }
 
 /** canonical_url(url): compact codegen'd canonicalization — see
@@ -221,4 +223,23 @@ case class HostOfExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HostOfExpr =
     copy(child = newChild)
   override def prettyName: String = "url_host"
+}
+
+/** resize_nn(bytes, w, h): deterministic nearest-neighbor resize of an
+  * encoded payload, re-encoded in its own format — the multimodal resize
+  * transform as a codegen'd ternary expression. */
+case class ResizeExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType && third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (BINARY, INT, INT)")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    ImageCodec.resizeEncoded(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h) => s"graft.imagecodec.ImageCodec.resizeEncoded($b, $w, $h)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ResizeExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "resize_nn"
 }

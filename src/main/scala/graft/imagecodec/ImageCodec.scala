@@ -214,6 +214,30 @@ object ImageCodec {
     averageHash(px, w, h)
   }
 
+  /** Deterministic nearest-neighbor resize of a decoded gray8 image. */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = px(sy * w + (x.toLong * w / ow).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** resize an ENCODED payload, re-encoding in the same format (the
+    * multimodal resize transform; deterministic, dependency-free). */
+  def resizeEncoded(bytes: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    val fmt = sniffFormat(bytes)
+    val (px, w, h) = decode(bytes)
+    encode(resizeNearest(px, w, h, ow, oh), ow, oh, fmt)
+  }
+
   /** PSNR (dB) between two equal-size gray8 images; Double.PositiveInfinity
     * when identical. Used by the payload-invariant tests. */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {

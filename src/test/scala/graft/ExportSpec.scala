@@ -47,10 +47,12 @@ class ExportSpec extends SparkSpec {
     graft.model.Synth.imageDocs(s2, 10, 1).toDF().createOrReplaceTempView("image_docs")
     val row = s2.sql(
       """SELECT image_id, phash(bytes) AS p, decode_width(bytes) AS w,
-        |  sniff_format(bytes) AS f, psnr(bytes, bytes) AS snr
+        |  sniff_format(bytes) AS f, psnr(bytes, bytes) AS snr,
+        |  decode_width(resize_nn(bytes, 8, 8)) AS rw
         |FROM image_docs WHERE image_id = 'img00000003'""".stripMargin).head()
     assert(row.getAs[Int]("w") == graft.model.Synth.wOf(3))
     assert(row.getAs[String]("f") == graft.model.Synth.fmtOf(3))
     assert(row.getAs[Double]("snr").isPosInfinity)
+    assert(row.getAs[Int]("rw") == 8)
   }
 }

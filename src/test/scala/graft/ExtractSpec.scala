@@ -74,6 +74,26 @@ class ExtractSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("resize_nn: dims change, format preserved, deterministic, downsample-of-self phash-stable") {
+    import graft.imagecodec.ImageCodec
+    val meta = docs.toDF()
+      .withColumn("small", graftfns.resizeNN(col("bytes"), lit(8), lit(8)))
+      .withColumn("small_w", graftfns.decodeWidth(col("small")))
+      .withColumn("small_h", graftfns.decodeHeight(col("small")))
+      .withColumn("small_fmt", graftfns.sniffFormat(col("small")))
+    assert(meta.filter(col("small_w") =!= 8 || col("small_h") =!= 8).count() == 0)
+    assert(meta.filter(col("small_fmt") =!= col("fmt")).count() == 0)
+    // determinism: two independent evaluations agree bit-for-bit
+    val again = docs.toDF().withColumn("small2", graftfns.resizeNN(col("bytes"), lit(8), lit(8)))
+      .select("image_id", "small2")
+    val joined = meta.select("image_id", "small").join(again, "image_id")
+    assert(joined.filter(col("small") =!= col("small2")).count() == 0)
+    // pure-Scala twin agrees with the expression
+    val row = meta.filter(col("image_id") === "img00000001").select("bytes", "small").head()
+    val expect = ImageCodec.resizeEncoded(row.getAs[Array[Byte]]("bytes"), 8, 8)
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("small"), expect))
+  }
+
   test("md5 integrity split quarantines corrupted payloads without failing the job") {
     import spark.implicits._
     val cfg = CrawlPipeline.Config(nUrls = 100L, budget = 4, numPartitions = 4, bloomBuckets = 4)

@@ -50,6 +50,19 @@ class UrlCanonSpec extends SparkSpec {
     assert(buckets.max <= 3L * buckets.min + 16, s"bucket skew too high: ${buckets.mkString(",")}")
   }
 
+  test("canonicalization is idempotent (canonical(canonical(x)) == canonical(x))") {
+    import spark.implicits._
+    val urls = (0L until 2000L).map(graft.model.Synth.seedUrlOf) ++ edgeCases
+    val df = urls.toDF("url")
+      .select(UrlCanon.canonicalUrl(col("url")).as("c1"))
+      .select(col("c1"), UrlCanon.canonicalUrl(col("c1")).as("c2"))
+    assert(df.filter(col("c1") =!= col("c2")).count() == 0)
+    urls.foreach { u =>
+      val c = ReferenceSim.canonicalUrl(u)
+      assert(ReferenceSim.canonicalUrl(c) == c, s"pure twin not idempotent on $u")
+    }
+  }
+
   test("filenameOf extracts the last path component (reference F9)") {
     import spark.implicits._
     val got = Seq("https://h/x/y/file.xml.gz").toDF("url")
