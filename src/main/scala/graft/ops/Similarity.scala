@@ -80,3 +80,77 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 }
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * centroid-partitioned scale path (alternative to the hyperplane-LSH
+  * variant above): a deterministic coarse quantizer (the corpus's first
+  * nlist vectors as seeds + one Lloyd refinement, all as DataFrame ops),
+  * then queries probe only the nprobe nearest inverted lists.
+  *
+  * Scale shape: assignment is one broadcast pass (nlist distance evals per
+  * row, no shuffle); the refinement is one posexplode+groupBy over
+  * (cluster, dim); search touches ~nprobe/nlist of the corpus. At 100 TB
+  * the cluster_id becomes a write-time partition column so each probe is
+  * partition-pruned I/O.
+  */
+object Ivf {
+  import org.apache.spark.sql.functions._
+
+  /** squared L2 distance of a vector column to a fixed centroid. */
+  private def dist2(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(centroid), (x, c) =>
+      (x.cast("double") - c) * (x.cast("double") - c)), lit(0.0), (a, v) => a + v)
+
+  /** argmin cluster id over fixed centroids, as one array_min over
+    * (distance, id) structs — struct ordering is lexicographic, so the
+    * min is the nearest centroid with deterministic id tiebreak. */
+  private def nearestCluster(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(dist2(vec, c).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train the coarse quantizer: seeds = the nlist smallest ids
+    * (deterministic), one Lloyd refinement via posexplode+avg. Returns the
+    * (small) centroid table collected to the driver. */
+  def train(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble): Seq[Double]) }
+    val assigned = corpus.select(col(vecCol).as("v"))
+      .withColumn("cluster", nearestCluster(col("v"), seeds))
+    val refined = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    refined
+  }
+
+  /** IVF top-k cosine: probe the nprobe nearest lists per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = train(corpus, nlist, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cluster", nearestCluster(col("cv"), cents))
+    // per query: the nprobe nearest clusters, via sorted (dist, cid) structs
+    val probeArr = slice(array_sort(array(cents.map { case (cid, cv) =>
+      struct(dist2(col("qv"), cv).as("d"), lit(cid).as("cid"))
+    }: _*)), 1, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cluster", explode(transform(probeArr, _.getField("cid"))))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

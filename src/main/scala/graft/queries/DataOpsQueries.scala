@@ -88,10 +88,18 @@ object DataOpsQueries {
     }),
 
     // LSH-bucketed ANN (the 100TB scale path; rows-only — bucket hash is
-    // engine-specific). Recall vs brute force asserted in SimilaritySpec.
+    // engine-specific). Recall vs brute force asserted in OpsSpec.
     "d7_embed_ann" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+    }),
+
+    // IVF ANN (inverted-file variant; rows-only — centroids are
+    // engine-trained). Recall + planted-clone rank asserted in OpsSpec.
+    "d8_embed_ivf" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rk"))
     }),
 

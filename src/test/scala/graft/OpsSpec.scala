@@ -74,6 +74,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top1.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("IVF ANN: planted clone found at rank 1; recall vs brute force reasonable") {
+    import graft.ops.Ivf
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant: a positively-scaled clone of vec 0 (same direction, same IVF
+    // cell after refinement stays nearest) must be its top cosine neighbor
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(77777L).as("vec_id"),
+        transform(col("embedding"), e => e * lit(1.5f)).as("embedding"))
+    val corpus = emb.union(clone)
+    val q0 = emb.filter(col("vec_id") === 0)
+    val ivf = Ivf.topK(corpus, q0, k = 10, nlist = 8, nprobe = 3)
+    val top = ivf.orderBy("rk").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 77777L)
+    assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    // recall@10 vs brute force over 5 queries
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = graft.ops.Similarity.bruteForceTopK(emb, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = Ivf.topK(emb, queries, 10, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall (nprobe 3 of 8 lists)")
+  }
+
   test("language-ID picks the language whose markers dominate") {
     import spark.implicits._
     val d = Seq(
