@@ -199,6 +199,13 @@ object Bench {
     val scaling =
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling}"""
+    println(json)
+    // belt-and-braces for log-wrapped stdout: the bare line is also left on
+    // disk where the driver (or a human) can pick it up
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -20,10 +20,13 @@ object Dedup {
   /** Word k-shingles of a text column (lowercased), as an array column. */
   def shingles(textCol: Column, k: Int): Column = {
     val toks = split(lower(trim(textCol)), "\\s+")
-    // sliding k-grams via transform over index range
-    val n = greatest(size(toks) - (k - 1), lit(0))
-    transform(sequence(lit(0), n - 1), i =>
-      concat_ws(" ", slice(toks, i + 1, lit(k))))
+    // sliding k-grams via transform over index range; docs shorter than k
+    // tokens get an empty shingle set (sequence(0, -1) would produce the
+    // DESCENDING range [0,-1] and slice(_, 0, _) throws in ANSI mode)
+    val n = size(toks) - (k - 1)
+    val idx = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
 
   /** MinHash signature (numHashes values) of a shingle array. Each hash
@@ -76,8 +79,11 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        // two empty shingle sets are NOT duplicates: jaccard 0, and the
+        // guard keeps ANSI mode from throwing DIVIDE_BY_ZERO on 0/0
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))))
       .drop("sh_a", "sh_b")
   }
 

@@ -107,14 +107,23 @@ object CrawlPipeline {
     try {
       val batchIds = scheduled.select("batch_id").distinct()
         .orderBy("batch_id").collect().map(_.getLong(0)) // small: ≤ max urls/host
-      val done = fetchedT.committedBatchIds
+      // A batch is done only when BOTH tables carry its commit. A crash
+      // between the two commits (fetched landed, seen didn't) must heal on
+      // replay, not be skipped — otherwise seenT is permanently missing the
+      // batch and later runs re-fetch its urls. fetchedT commits FIRST so a
+      // half-committed batch recomputes against a seenT that (like the
+      // original run) does not yet contain it — identical ranked set.
+      val doneF = fetchedT.committedBatchIds
+      val doneS = seenT.committedBatchIds
       var processed = 0
       batchIds.iterator.takeWhile(_ => processed < maxBatchesThisRun).foreach { b =>
-        if (!done.contains(b)) {
+        if (!(doneF.contains(b) && doneS.contains(b))) {
           val batch = scheduled.filter(col("batch_id") === b)
-          val fetched = Fetch.fetchBatch(batch, store, cfg.numPartitions)
-          fetchedT.commit(fetched.drop("bytes"), batchId = b) // never snapshot payloads twice
-          seenT.commit(
+          if (!doneF.contains(b)) {
+            val fetched = Fetch.fetchBatch(batch, store, cfg.numPartitions)
+            fetchedT.commit(fetched.drop("bytes"), batchId = b) // never snapshot payloads twice
+          }
+          seenT.commit( // idempotent per batchId — safe to re-invoke on replay
             batch.select(col("canonical_url"), lit(b).as("first_batch_id")), batchId = b)
           processed += 1
         }

@@ -298,8 +298,11 @@ object TextOracle {
   val tokenCountSql: String = {
     val chars = "length(regexp_replace(text, '\\s+', '', 'g'))"
     val sub = s"greatest($tokenCountSql0, CAST(ceil(CAST($chars AS DOUBLE) / 4.0) AS BIGINT))"
+    // CAST the sums: DuckDB sum(BIGINT) yields HUGEINT (int128) while Spark
+    // yields LONG — a type-sensitive comparison fails on equal values.
     s"""WITH pertoks AS (SELECT source, $tokenCountSql0 AS n_tokens, $sub AS n_subwords FROM documents)
-       |SELECT source, sum(n_tokens) AS total_tokens, sum(n_subwords) AS total_subwords,
+       |SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
        |  count(*) AS n_docs
        |FROM pertoks GROUP BY source""".stripMargin
   }

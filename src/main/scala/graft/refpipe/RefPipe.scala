@@ -37,12 +37,19 @@ object RefPipe {
     "acl" -> "ACL", "dblp" -> "DBLP", "arxiv" -> "ArXiv",
     "pubmed" -> "PubMed", "pubmedcentral" -> "PubMedCentral")
 
-  /** F6: prefer the nested openaccessinfo.externalids when present, then
-    * drop the wrapper. */
+  /** F6: promote openaccessinfo.externalids, matching the reference's
+    * EXACT overwrite semantics (s2processor.py:158-164): when an
+    * openaccessinfo record is present, its externalids REPLACE the
+    * top-level ones even when the nested value is null — such papers then
+    * fail the external-id filter and drop out. A coalesce would instead
+    * keep the old ids and admit them, diverging from the reference's
+    * filtered paper set. Struct-null = record-absent (fixed Spark schema
+    * has no key-missing notion; documented in RefPipeSpec). */
   def promoteOpenAccess(papers: DataFrame): DataFrame =
     papers
       .withColumn("externalids",
-        coalesce(col("openaccessinfo.externalids"), col("externalids")))
+        when(col("openaccessinfo").isNotNull, col("openaccessinfo.externalids"))
+          .otherwise(col("externalids")))
       .drop("openaccessinfo")
 
   /** F4: keep papers where ANY enabled source key is present and non-null

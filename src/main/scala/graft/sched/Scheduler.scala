@@ -106,22 +106,34 @@ object Scheduler {
       .drop("budget")
   }
 
-  /** robots.txt gate: drop urls whose path starts with a disallowed
-    * prefix for their host. `robots` is a small broadcast dimension
-    * (host, path_prefix, allowed); empty prefix = no restriction. */
+  /** robots.txt gate: drop urls whose path matches a disallowed prefix for
+    * their host; among matching rules the LONGEST prefix wins (standard
+    * robots precedence; exact-length ties resolve allow-first). `robots` is
+    * a small dimension (host, path_prefix, allowed) AGGREGATED to one
+    * rules-array row per host before the broadcast join — a host with many
+    * rules must not duplicate its frontier rows (a bare left join would
+    * silently inflate the frontier per extra rule). Empty/null prefix = no
+    * restriction; hosts with no rules pass. */
   def robotsFilter(frontier: DataFrame, robots: DataFrame): DataFrame = {
     val path = regexp_replace(col("canonical_url"), "^[a-z][a-z0-9+.-]*://[^/]*", "")
-    val r = robots.select(
-      col("host").as("__rhost"),
-      col("path_prefix").as("__prefix"),
-      col("allowed").as("__allowed"))
+    val perHost = robots
+      .filter(col("path_prefix").isNotNull && col("path_prefix") =!= "")
+      .groupBy(col("host").as("__rhost"))
+      .agg(collect_list(struct(
+        length(col("path_prefix")).as("len"),
+        col("path_prefix").as("prefix"),
+        col("allowed").as("allowed"))).as("__rules"))
+    // longest matching rule = array_max over (len, prefix, allowed):
+    // struct ordering is field-lexicographic, so len dominates and equal
+    // (len, prefix) resolves to allowed=true (allow beats disallow)
+    val matched = array_max(filter(col("__rules"),
+      r => col("__path").startsWith(r.getField("prefix"))))
     frontier
       .withColumn("__path", path)
-      .join(broadcast(r), col("host") === col("__rhost"), "left")
-      .filter(
-        col("__prefix").isNull || col("__prefix") === "" ||
-        !(col("__path").startsWith(col("__prefix")) && !col("__allowed")))
-      .drop("__path", "__rhost", "__prefix", "__allowed")
+      .join(broadcast(perHost), col("host") === col("__rhost"), "left")
+      .withColumn("__verdict", matched)
+      .filter(col("__verdict").isNull || col("__verdict.allowed"))
+      .drop("__path", "__rhost", "__rules", "__verdict")
   }
 
   /** Frontier dedup: first occurrence wins, where "first" is the

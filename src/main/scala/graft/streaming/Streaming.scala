@@ -98,7 +98,12 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-        if (fetchedT.committedBatchIds.contains(batchId)) () // idempotent replay
+        // Skip only when BOTH commits landed: a crash between
+        // fetchedT.commit and seenT.commit must heal on replay (recompute
+        // is deterministic; each commit is idempotent per batchId).
+        val fetchedDone = fetchedT.committedBatchIds.contains(batchId)
+        val seenDone = seenT.committedBatchIds.contains(batchId)
+        if (fetchedDone && seenDone) () // idempotent replay
         else {
           val canon = batchDf.select(
             UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
@@ -111,8 +116,10 @@ object Streaming {
             case None => deduped
           }
           val ranked = Scheduler.schedule(unseen, None, budget)
-          val fetched = Fetch.fetchBatch(ranked, store, numPartitions)
-          fetchedT.commit(fetched.drop("bytes"), batchId = batchId)
+          if (!fetchedDone) {
+            val fetched = Fetch.fetchBatch(ranked, store, numPartitions)
+            fetchedT.commit(fetched.drop("bytes"), batchId = batchId)
+          }
           seenT.commit(ranked.select(col("canonical_url"), lit(batchId).as("first_batch_id")),
             batchId = batchId)
           ()

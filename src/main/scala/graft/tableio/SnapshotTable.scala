@@ -103,9 +103,11 @@ final class SnapshotTable(val root: String) {
     id
   }
 
-  /** Delete data files not referenced by the last `keep` snapshots' full
-    * chains (K4 cache-GC analog). */
-  def expireSnapshots(keep: Int = 1): Unit = synchronized {
+  /** GC orphaned branch snapshots (K4 cache-GC analog): delete manifests
+    * not on the HEAD chain and any data files only they reference. The
+    * table is append-only, so every file on the HEAD chain stays live
+    * forever — there is no "last N snapshots" retention to apply. */
+  def expireSnapshots(): Unit = synchronized {
     headId.foreach { h =>
       val all = chain(h)
       val live = all.flatMap(_.files).toSet // chain is cumulative; all files live

@@ -45,6 +45,19 @@ class OpsSpec extends SparkSpec {
     assert(expected.intersect(got).size >= 16, s"simhash recall: ${expected.intersect(got).size}/20")
   }
 
+  test("short and empty documents survive the shingle path (no ANSI slice crash)") {
+    import spark.implicits._
+    // docs with fewer than k tokens used to make sequence(0, n-1) emit the
+    // DESCENDING range [0,-1] and slice(_, 0, _) throw in ANSI mode
+    val d = Seq((1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cands = Dedup.minhashLshCandidates(d, "text", "doc_id", k = 3)
+    val verified = Dedup.jaccardVerify(d, cands.select("id_a", "id_b"), "text", "doc_id", k = 3)
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((4L, 5L))) // short docs pass through, dup still found
+  }
+
   test("exact dedup groups identical texts only") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")

@@ -33,7 +33,12 @@ class RefPipeSpec extends SparkSpec {
       // null externalids everywhere → filtered out, null-safely
       Row(5L, null, null, Seq(Row("a5")), "t5"),
       // null entry VALUE for an enabled key → not "present and non-null"
-      Row(6L, Map("DBLP" -> null), null, Seq(Row("a6")), "t6"))
+      Row(6L, Map("DBLP" -> null), null, Seq(Row("a6")), "t6"),
+      // openaccessinfo record PRESENT with null externalids → the null
+      // REPLACES the good top-level DBLP id (s2processor.py:158-164:
+      // key-present-with-None overwrites) and the paper drops out; a
+      // coalesce would wrongly admit it
+      Row(7L, Map("DBLP" -> "d7"), Row(null), Seq(Row("a7")), "t7"))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), papersSchema)
   }
@@ -62,7 +67,8 @@ class RefPipeSpec extends SparkSpec {
         RefPipe.promoteOpenAccess(papersDf), Seq("acl", "dblp", "arxiv"))
       .select("corpusid").collect().map(_.getLong(0)).toSet
     // 2 admitted only via promoted ArXiv id; 3 admitted only because the
-    // NESTED map (DBLP) overwrote the top-level (PubMed)
+    // NESTED map (DBLP) overwrote the top-level (PubMed); 7 REJECTED
+    // because the present-but-null nested map overwrote its DBLP id
     assert(got == Set(1L, 2L, 3L))
   }
 
