@@ -45,7 +45,8 @@ object Dedup {
     * id_a < id_b, deduped across bands. */
   def minhashLshCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      k: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // materialize the shingle array ONCE: inlining it into each of the
     // numHashes signature lanes multiplies the codegen'd expression tree
@@ -60,8 +61,12 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))),
             lit(0x1567)).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // degenerate-bucket bound (see simhashCandidates scaladoc): exact-dup
+    // mass collapses via Dedup.exact BEFORE LSH; anything still oversized
+    // is skipped rather than joined quadratically
+    val bounded = boundBuckets(banded, maxBucket)
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -70,7 +75,10 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (the
-    * verify stage after LSH). pairs: (id_a, id_b). */
+    * verify stage after LSH). pairs: (id_a, id_b). Emits the exact integer
+    * numerator/denominator alongside the double: thresholds should use
+    * cross-multiplied integers (num*q >= den*p for p/q) — engine-exact,
+    * no float boundary — which is how the d2 oracle compares. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, k: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -78,12 +86,15 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard_num",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_den",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         // two empty shingle sets are NOT duplicates: jaccard 0, and the
         // guard keeps ANSI mode from throwing DIVIDE_BY_ZERO on 0/0
-        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
-          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))))
+        when(col("jaccard_den") === 0, lit(0.0))
+          .otherwise(col("jaccard_num").cast("double") / col("jaccard_den")))
       .drop("sh_a", "sh_b")
   }
 
@@ -91,41 +102,61 @@ object Dedup {
     * hash bit, sign → bit. Expressed with built-ins only: for each bit, sum
     * over tokens of (2*bit(h)-1), then pack via bitwise ops in a reduce. */
   def simhash64(textCol: Column): Column =
-    simhash64FromHashes(transform(split(lower(trim(textCol)), "\\s+"), t => xxhash64(t)))
+    simhashFromHashes(transform(split(lower(trim(textCol)), "\\s+"), t => xxhash64(t)), 64)
 
   /** simhash from a MATERIALIZED token-hash array column — callers must
     * project the hash array into its own column first, else the array
-    * expression is inlined into all 64 bit lanes (codegen blow-up). */
-  def simhash64FromHashes(hashes: Column): Column = {
-    // 64 per-bit counters folded into a packed long via aggregate
-    val bits = (0 until 64).map { b =>
+    * expression is inlined into all `bits` bit lanes (codegen blow-up).
+    * `bits` ≤ 64; fewer bits suit token hashes narrower than a long
+    * (e.g. a 60-bit md5-prefix hash that a SQL oracle can reproduce). */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 64)
+    val lanes = (0 until bits).map { b =>
       val cnt = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    lanes.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit simhash into `numBands`
-    * equal slices (any band equal → candidate), verify by hamming distance
-    * ≤ maxHamming. More, narrower bands = higher recall at higher
-    * candidate volume (8×8 default: a pair with hamming ≤ 12 almost always
-    * leaves one byte untouched). */
+  /** SimHash near-dup candidates: band the `bits`-wide simhash into
+    * `numBands` slices (any band equal → candidate), verify by hamming
+    * distance ≤ maxHamming. Structural recall guarantee (pigeonhole): when
+    * maxHamming < numBands a true pair cannot differ in every band, so the
+    * candidate set PROVABLY contains every pair within maxHamming — the
+    * filtered output is exactly the all-pairs hamming ball, computed
+    * without the quadratic join.
+    *
+    * `maxBucket` bounds the self-join: a degenerate bucket (e.g. millions
+    * of identical or empty docs) would otherwise go quadratic — the classic
+    * web-dedup failure. Buckets larger than the cap are SKIPPED; collapse
+    * exact duplicates first ([[exact]]) so mass-duplicate content never
+    * reaches this operator as a giant bucket. The cap check rides the same
+    * (band, bucket) exchange the join needs — no extra shuffle.
+    *
+    * `tokenHash` defaults to xxhash64; pass e.g. a 60-bit md5-prefix hash
+    * (with bits=60) when a cross-engine-reproducible signature is needed.
+    */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, numBands: Int = 8): DataFrame = {
-    val bandBits = 64 / numBands
-    val mask = (1L << bandBits) - 1
+      maxHamming: Int = 3, numBands: Int = 8, bits: Int = 64,
+      tokenHash: Column => Column = t => xxhash64(t),
+      maxBucket: Int = 100000): DataFrame = {
+    val bandBits = (bits + numBands - 1) / numBands
     val withSig = df
       .select(col(idCol).as("id"),
-        transform(split(lower(trim(col(textCol))), "\\s+"), t => xxhash64(t)).as("h"))
-      .select(col("id"), simhash64FromHashes(col("h")).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+        transform(split(lower(trim(col(textCol))), "\\s+"), tokenHash).as("h"))
+      .select(col("id"), simhashFromHashes(col("h"), bits).as("sig"))
+    val bandCols = (0 until numBands).map { b =>
+      val width = math.min(bandBits, bits - b * bandBits)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
+    }
+    val banded = withSig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val bounded = boundBuckets(banded, maxBucket)
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -134,13 +165,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Drop rows of (…, band, bucket) whose bucket exceeds `maxBucket` rows.
+    * The count window partitions by (band, bucket) — the SAME keys the
+    * downstream self-join shuffles on, so the exchange is shared and the
+    * bound costs no extra shuffle. */
+  private[graft] def boundBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+  }
+
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join
     * never goes quadratic. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
+      threshold: Double, planes: Int = 8, maxBucket: Int = 100000): DataFrame = {
     val sigExpr = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
+    val withSig = boundBuckets(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(0).as("band"), sigExpr.as("bucket")),
+      maxBucket).drop("band")
     val a = withSig.as("a")
     val b = withSig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

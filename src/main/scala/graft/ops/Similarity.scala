@@ -56,16 +56,23 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: probe only vectors sharing the query's hyperplane
-    * bucket (plus Hamming-1 neighbor buckets for recall). The scale path:
-    * corpus bucketed once (write-time partition column at 100 TB), each
-    * query touches B/2^planes of the data. */
+    * bucket (plus all buckets within `probeHamming` sign flips, multi-probe
+    * LSH). The scale path: corpus bucketed once (write-time partition
+    * column at 100 TB), each query touches ~(probed buckets)/2^planes of
+    * the data. Raise probeHamming (or lower planes) for recall; at small
+    * corpus scale a probe set covering the true neighbors makes the output
+    * EXACTLY the brute-force top-k, which is how the driver oracle checks
+    * it. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 6,
+      probeHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sig = hyperplaneSignature(col(vecCol), planes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), sig.as("cb"))
-    // query probes its own bucket + all hamming-1 buckets
-    val probes = explode(array((lit(0L) +: (0 until planes).map(p =>
-      shiftleft(lit(1L), p).cast("long"))): _*))
+    // query probes every bucket within probeHamming flips of its own; the
+    // flip masks are a compile-time literal array (2^planes bounded small)
+    val flips = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val probes = explode(array(flips.map(m => lit(m)): _*))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("qb"))
       .withColumn("flip", probes)
       .withColumn("probe_bucket", col("qb").bitwiseXOR(col("flip")))
@@ -116,7 +123,10 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     val seeds = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble): Seq[Double]) }
+      .zipWithIndex.map { case (r, i) =>
+        // element-type-agnostic (float embeddings or quantized longs)
+        (i, r.getSeq[Number](0).map(_.doubleValue): Seq[Double])
+      }
     val assigned = corpus.select(col(vecCol).as("v"))
       .withColumn("cluster", nearestCluster(col("v"), seeds))
     val refined = assigned

