@@ -94,7 +94,8 @@ object CrawlPipeline {
   def runBatches(spark: SparkSession, cfg: Config, store: DataFrame,
       tableRoot: String,
       maxBatchesThisRun: Int = Int.MaxValue,
-      seeds: Option[DataFrame] = None): Int = {
+      seeds: Option[DataFrame] = None,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): Int = {
     val fetchedT = new SnapshotTable(s"$tableRoot/fetched")
     val seenT = new SnapshotTable(s"$tableRoot/seen")
     // Resume correctness: the schedule is recomputed DETERMINISTICALLY
@@ -126,6 +127,9 @@ object CrawlPipeline {
           seenT.commit( // idempotent per batchId — safe to re-invoke on replay
             batch.select(col("canonical_url"), lit(b).as("first_batch_id")), batchId = b)
           processed += 1
+          // per-batch progress cadence (reference: tqdm per release file);
+          // row count comes free from the commit manifest's observe metric
+          onBatch(b, fetchedT.headId.map(fetchedT.manifest(_).rows).getOrElse(-1L))
         }
       }
       processed

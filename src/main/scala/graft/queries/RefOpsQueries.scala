@@ -181,6 +181,64 @@ object RefOpsQueries {
         .select(col("event_id"), col("parsed.k").as("k"))
     }),
 
+    // S5/E2 REAL XML path: build DBLP-shaped XML record strings from the
+    // events table, parse them with the StAX mapPartitions reader
+    // (sources.XmlIngest — the actual `<dblp>` dump path, not from_json),
+    // then apply the reference's E2 filter chain on the native xmltodict
+    // shape (refpipe.DblpPipe: strict-> mdate, ee→CLOSED default,
+    // present-ee-without-type dropped). The oracle recomputes the admitted
+    // set from the raw columns — XML build → parse → filter must
+    // round-trip exactly.
+    "c20_dblp_xml_e2" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Fixture.events(s, dir)
+      val a2 = when(col("event_id") % 3 >= 1,
+        concat(lit("<author>a"), col("event_id").cast("string"), lit("_2</author>"))).otherwise(lit(""))
+      val a3 = when(col("event_id") % 3 === 2,
+        concat(lit("<author>a"), col("event_id").cast("string"), lit("_3</author>"))).otherwise(lit(""))
+      val ee = when(col("event_id") % 5 === 0, lit("")) // no ee at all → CLOSED default
+        .when(col("event_id") % 5 === 1, // ee WITHOUT type → dropped for every set
+          concat(lit("<ee>http://e/"), col("event_id").cast("string"), lit("</ee>")))
+        .when(col("event_id") % 5 === 3,
+          concat(lit("<ee type=\"closed\">http://e/"), col("event_id").cast("string"), lit("</ee>")))
+        .otherwise(
+          concat(lit("<ee type=\"oa\">http://e/"), col("event_id").cast("string"), lit("</ee>")))
+      val xml = ev.select(concat(
+        lit("<article mdate=\""), date_format(col("ts"), "yyyy-MM-dd"),
+        lit("\" key=\"k"), col("event_id").cast("string"), lit("\">"),
+        lit("<title>t"), col("event_id").cast("string"), lit("</title>"),
+        concat(lit("<author>a"), col("event_id").cast("string"), lit("_1</author>")), a2, a3,
+        lit("<year>"), year(col("ts")).cast("string"), lit("</year>"),
+        ee, lit("</article>")).as("value")).as[String]
+      val parsed = graft.sources.XmlIngest.parseRecords(xml, "article").toDF()
+      graft.refpipe.DblpPipe
+        .downloadAndFilterRelease(parsed, useFilters = true, Seq("oa"), fromDate = "2024-01-10")
+        .select(col("key"), col("mdate"), col("title"),
+          size(col("authors")).as("n_authors"), col("year"),
+          col("eeType").as("access"), col("eeText").as("ee_url"))
+    }),
+
+    // S4: chunked-download iterator semantics (dblpclient.py:53-88 — the
+    // reference streams a payload in fixed-size chunks, folding a digest
+    // and byte count as it goes). Declarative twin: slice the payload into
+    // 256-char chunks, fold them back, and prove the reassembly is
+    // digest-identical to the whole buffer — the integrity invariant a
+    // chunked fetch must preserve. Constant memory per row, no UDF.
+    "c21_chunked_fetch" -> ((s, dir) => {
+      val chunkSize = 256
+      val n = ceil(length(col("text")).cast("double") / chunkSize).cast("int")
+      val idx = when(n > 0, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
+      val chunks = transform(idx, i => col("text").substr(i * chunkSize + 1, lit(chunkSize)))
+      Fixture.documents(s, dir)
+        .withColumn("n_chunks", n.cast("long"))
+        .withColumn("reassembled", array_join(chunks, ""))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("payload_chars"),
+          col("n_chunks"),
+          (md5(col("reassembled").cast("binary")) === md5(col("text").cast("binary"))).as("intact"),
+          md5(col("reassembled").cast("binary")).as("payload_md5"))
+    }),
+
     // A1 incremental distinct: per-source running distinct-doc count in
     // file order (seen-set growth across files, s2processor.py:55-61).
     "c18_seen_growth" -> ((s, dir) => {
@@ -294,6 +352,35 @@ object RefOpsQueries {
     "c19_json_ingest" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "c21_chunked_fetch" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, n,
+        |    coalesce(list_aggregate(list_transform(range(0, n),
+        |      i -> substr(text, i*256 + 1, 256)), 'string_agg', ''), '') AS reassembled
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS payload_chars,
+        |  CAST(n AS BIGINT) AS n_chunks,
+        |  md5(reassembled) = md5(text) AS intact,
+        |  md5(reassembled) AS payload_md5
+        |FROM r""".stripMargin,
+
+    "c20_dblp_xml_e2" ->
+      """SELECT 'k' || CAST(event_id AS STRING) AS key,
+        |  strftime(ts, '%Y-%m-%d') AS mdate,
+        |  't' || CAST(event_id AS STRING) AS title,
+        |  CAST(event_id % 3 + 1 AS INTEGER) AS n_authors,
+        |  CAST(year(ts) AS INTEGER) AS year,
+        |  'oa' AS access,
+        |  'http://e/' || CAST(event_id AS STRING) AS ee_url
+        |FROM events
+        |WHERE CAST(ts AS DATE) > DATE '2024-01-10'
+        |  AND event_id % 5 IN (2, 4)""".stripMargin,
 
     "c18_seen_growth" ->
       """SELECT source, doc_id,

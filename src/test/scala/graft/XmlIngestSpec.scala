@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.refpipe.DblpPipe
+import graft.sources.XmlIngest
+
+/** Real-XML-path tests: lineSep record framing over a multi-line dump with
+  * header/footer (plain and gzip), StAX field extraction, and the E2
+  * filter chain's sharp edges (missing @mdate raises; ee-without-type ≠
+  * ee-missing; AccessType.ALL with filters on raises). */
+class XmlIngestSpec extends SparkSpec {
+
+  private val dump =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<dblp>
+      |<article mdate="2024-02-01" key="k1">
+      |  <title>First
+      |paper</title>
+      |  <author>Alice</author>
+      |  <author>Bob</author>
+      |  <year>2023</year>
+      |  <ee type="oa">http://x/1</ee>
+      |</article>
+      |<article mdate="2024-01-05" key="k2">
+      |  <title>Second</title>
+      |  <author>Carol</author>
+      |  <year>2022</year>
+      |  <ee>http://x/2</ee>
+      |</article>
+      |<article mdate="2024-03-01" key="k3">
+      |  <title>Third</title>
+      |  <author>Dan</author>
+      |  <year>2024</year>
+      |</article>
+      |</dblp>
+      |""".stripMargin
+
+  private def writeDump(gz: Boolean): String = {
+    val dir = Files.createTempDirectory("xmldump")
+    val f = dir.resolve(if (gz) "dblp.xml.gz" else "dblp.xml")
+    val bytes = if (gz) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(dump.getBytes(StandardCharsets.UTF_8)); g.close()
+      bos.toByteArray
+    } else dump.getBytes(StandardCharsets.UTF_8)
+    Files.write(f, bytes)
+    f.toString
+  }
+
+  test("file framing parses all records from a multi-line dump (plain and gzip)") {
+    for (gz <- Seq(false, true)) {
+      val recs = XmlIngest.readRecords(spark, writeDump(gz), "article")
+        .collect().map(r => r.key -> r).toMap
+      assert(recs.keySet == Set("k1", "k2", "k3"), s"gz=$gz")
+      assert(recs("k1").title == "First\npaper") // multi-line text node
+      assert(recs("k1").authors == Seq("Alice", "Bob"))
+      assert(recs("k1").year.contains(2023))
+      assert(recs("k1").eePresent && recs("k1").eeType == "oa")
+      assert(recs("k2").eePresent && recs("k2").eeType == null) // ee w/o type
+      assert(!recs("k3").eePresent && recs("k3").eeType == null) // no ee
+    }
+  }
+
+  test("access filter: ee-missing defaults to CLOSED; ee-without-type is dropped for every set") {
+    val df = XmlIngest.readRecords(spark, writeDump(gz = false), "article").toDF()
+    assert(DblpPipe.accessFilter(df, Seq("oa")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k1"))
+    // k3 (no ee) admitted under CLOSED; k2 (typeless ee) never admitted
+    assert(DblpPipe.accessFilter(df, Seq("closed")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k3"))
+    assert(DblpPipe.accessFilter(df, Seq("oa", "closed")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k1", "k3"))
+  }
+
+  test("timestamp filter is strictly greater; missing @mdate raises like the reference") {
+    val df = XmlIngest.readRecords(spark, writeDump(gz = false), "article").toDF()
+    assert(DblpPipe.timestampFilter(df, "2024-02-01").select("key")
+      .collect().map(_.getString(0)).toSet == Set("k3")) // boundary k1 excluded
+    val noMdate = df.withColumn("mdate",
+      when(col("key") === "k2", lit(null).cast("string")).otherwise(col("mdate")))
+    val ex = intercept[Exception] {
+      DblpPipe.timestampFilter(noMdate, "1980-01-01").count()
+    }
+    assert(ex.getMessage.contains("mdate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mdate")))
+  }
+
+  test("AccessType.ALL with filters enabled raises (reference latent bug mirrored)") {
+    val df = XmlIngest.readRecords(spark, writeDump(gz = false), "article").toDF()
+    intercept[IllegalStateException] {
+      DblpPipe.downloadAndFilterRelease(df, useFilters = true, Seq(DblpPipe.AccessAll))
+    }
+    // filters off: everything passes untouched
+    assert(DblpPipe.downloadAndFilterRelease(df, useFilters = false, Seq("oa")).count() == 3)
+  }
+}
