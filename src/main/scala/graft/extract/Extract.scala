@@ -57,14 +57,24 @@ object Extract {
 
   /** phash near-dup groups: exact phash match after decode (the synthetic
     * corpus injects ~2% duplicate pixel patterns — FIXTURES.md §1). At
-    * scale this is one shuffle on an 8-byte key. For hamming-distance≤k
-    * near-dup, see graft.ops.Dedup.simhash banding — same technique
-    * applies to phash bands. */
+    * scale this is one shuffle on an 8-byte key. */
   def phashDupGroups(withMeta: DataFrame): DataFrame =
     withMeta
       .groupBy(col("dec_phash"))
       .agg(count(lit(1)).as("n"), min(col("image_id")).as("canonical_id"))
       .filter(col("n") > 1)
+
+  /** phash hamming-ball near-dup PAIRS (lossy re-encodes, small crops —
+    * payloads whose 64-bit phash differs in ≤ maxHamming bits). Runs the
+    * banded signature self-join shared with text simhash
+    * ([[graft.ops.Dedup.hammingCandidates]]): with maxHamming < numBands
+    * the result is provably the complete hamming ball, computed without an
+    * all-pairs join. Emits (id_a, id_b, hamming). */
+  def phashNearDupPairs(withMeta: DataFrame, maxHamming: Int = 6,
+      numBands: Int = 8): DataFrame =
+    graft.ops.Dedup.hammingCandidates(
+      withMeta.select(col("image_id"), col("dec_phash")),
+      "image_id", "dec_phash", maxHamming, numBands)
 }
 
 final case class DecodedStats(

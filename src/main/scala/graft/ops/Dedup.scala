@@ -141,26 +141,39 @@ object Dedup {
       maxHamming: Int = 3, numBands: Int = 8, bits: Int = 64,
       tokenHash: Column => Column = t => xxhash64(t),
       maxBucket: Int = 100000): DataFrame = {
-    val bandBits = (bits + numBands - 1) / numBands
     val withSig = df
       .select(col(idCol).as("id"),
         transform(split(lower(trim(col(textCol))), "\\s+"), tokenHash).as("h"))
       .select(col("id"), simhashFromHashes(col("h"), bits).as("sig"))
+    hammingCandidates(withSig, "id", "sig", maxHamming, numBands, bits, maxBucket)
+  }
+
+  /** Banded hamming-ball self-join over ANY packed bit signature column —
+    * the shared engine under simhash text near-dup and phash image
+    * near-dup. Pigeonhole guarantee: maxHamming < numBands ⇒ the output is
+    * EXACTLY all pairs within the hamming ball (no quadratic join, no
+    * missed pairs). Input df must carry (idCol, sigCol); emits
+    * (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingCandidates(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, numBands: Int, bits: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
+    val bandBits = (bits + numBands - 1) / numBands
     val bandCols = (0 until numBands).map { b =>
       val width = math.min(bandBits, bits - b * bandBits)
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
     }
-    val banded = withSig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val base = df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+    val banded = base.select(col("id"), col("__sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("__sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bounded = boundBuckets(banded, maxBucket)
     val a = bounded.as("a")
     val b = bounded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

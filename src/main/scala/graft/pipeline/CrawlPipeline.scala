@@ -33,7 +33,14 @@ object CrawlPipeline {
       numPartitions: Int = 32,
       bloomBuckets: Int = 32,
       useBloomPrefilter: Boolean = true,
-      bandedSchedule: Boolean = false)
+      bandedSchedule: Boolean = false,
+      // auto-select the banded rank once the frontier is big enough that a
+      // Zipf-hot host's single window task becomes the critical path
+      // (~22% of rows on one core; measured crossover ~1M urls — below it
+      // the banded two-pass overhead costs more than the skew it removes)
+      bandedAutoThreshold: Long = 1000000L) {
+    def useBanded: Boolean = bandedSchedule || nUrls >= bandedAutoThreshold
+  }
 
   /** Canonicalized, robots-gated, deduped frontier with schedule columns.
     * Pure plan — nothing executed. */
@@ -66,7 +73,7 @@ object CrawlPipeline {
     if (cfg.referenceEquivalence) {
       // sequential total order: single queue, budget 1
       Scheduler.schedule(gated, None, 1, lit("*"))
-    } else if (cfg.bandedSchedule) {
+    } else if (cfg.useBanded) {
       // two-level banded rank: use when a hot host's partition exceeds
       // what one task should hold (10^10 regime); at small scale the
       // extra pass costs more than the skew it removes

@@ -47,6 +47,27 @@ class ExtractSpec extends SparkSpec {
     assert(losslessBad == 0, "lossless rows not bit-exact")
   }
 
+  test("phash near-dup pairs recover lossy re-encodes via banded hamming join") {
+    import spark.implicits._
+    // plant near-dups: lossy xjpg re-encodes of the first 20 images — same
+    // pixels through the quantizer, phash drifts ≤8 bits (bound asserted in
+    // the codegen test above)
+    val clones = docs.filter(_.image_id.drop(3).toLong < 20).map { d =>
+      val (px, w, h) = graft.imagecodec.ImageCodec.decode(d.bytes)
+      d.copy(image_id = "img" + (d.image_id.drop(3).toLong + 100000),
+        bytes = graft.imagecodec.ImageCodec.encodeXjpg(px, w, h), fmt = "xjpg")
+    }
+    val meta = Extract.metadata(docs.union(clones).toDF())
+    // maxHamming(8) < numBands(16) ⇒ pigeonhole-complete hamming ball
+    val pairs = Extract.phashNearDupPairs(meta, maxHamming = 8, numBands = 16)
+      .collect().map(r => (r.getAs[String]("id_a"), r.getAs[String]("id_b"))).toSet
+    (0 until 20).foreach { i =>
+      val (a, b) = (f"img$i%08d", s"img${i + 100000}")
+      assert(pairs.contains((a, b)) || pairs.contains((b, a)),
+        s"planted lossy near-dup $a/$b not recovered")
+    }
+  }
+
   test("captions survive the fetch pipeline bit-exactly") {
     import spark.implicits._
     val cfg = CrawlPipeline.Config(nUrls = N, budget = 4, numPartitions = 4, bloomBuckets = 4)
