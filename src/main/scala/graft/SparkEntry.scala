@@ -103,6 +103,17 @@ object SparkEntry {
     // exact-hash groupBy — reference analog A4 md5, dblpclient.py:53-69).
     "d1_dedup_exact" -> ((s, dir) => {
       graft.ops.Dedup.exact(Fixture.documents(s, dir), "text", "doc_id")
+    }),
+
+    // Cuckoo-filter seen gate (north_rule's second filter shape), exact
+    // composition: cuckoo-negatives pass, positives exact-confirmed — must
+    // be row-equal to the plain exact anti join, so it shares c3's oracle.
+    "c22_cuckoo_gate" -> ((s, dir) => {
+      val cand = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .distinct()
+      graft.seen.CuckooSeen.notSeenExactWithCuckooFastPath(
+        cand, Fixture.seenSet(s, dir), numBuckets = 16)
     })
   )
 
@@ -148,6 +159,11 @@ object SparkEntry {
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "c22_cuckoo_gate" ->
+      s"""WITH ${OracleSql.canonFrontierCte}
+         |SELECT DISTINCT canonical_url FROM cfrontier c
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin
   ) ++ RefOpsQueries.oracle ++ DataOpsQueries.oracle
 }

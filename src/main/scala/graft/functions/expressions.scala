@@ -153,6 +153,39 @@ final class BloomShardMap(serialized: Map[Int, Array[Byte]]) extends Serializabl
     }
 }
 
+/** cuckoo_probe(bucket, key) against a BROADCAST cuckoo shard map — same
+  * no-join, reference-object codegen shape as [[BloomProbeExpr]]. */
+case class CuckooProbeExpr(left: Expression, right: Expression,
+    shards: org.apache.spark.broadcast.Broadcast[CuckooShardMap])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT bucket, BIGINT key)")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(bucket: Any, key: Any): Any =
+    shards.value.mightContain(bucket.asInstanceOf[Int], key.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cuckooShards", shards,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"((graft.functions.CuckooShardMap) $ref.value()).mightContain($b, $k)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CuckooProbeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cuckoo_probe"
+}
+
+/** Broadcast payload for cuckoo shards (lazy per-executor deserialize). */
+final class CuckooShardMap(serialized: Map[Int, Array[Byte]]) extends Serializable {
+  @transient private lazy val filters: Map[Int, graft.seen.Cuckoo] =
+    serialized.map { case (b, blob) => b -> graft.seen.Cuckoo.deserialize(blob) }
+  def mightContain(bucket: Int, key: Long): Boolean =
+    filters.get(bucket) match {
+      case Some(f) => f.mightContain(key)
+      case None => false
+    }
+}
+
 /** Static helpers invoked from generated code — keep JVM-static and
   * allocation-light. */
 object GraftExprHelpers {

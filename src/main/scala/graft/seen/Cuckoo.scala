@@ -64,13 +64,19 @@ final class Cuckoo(val table: Array[Short], val numBuckets: Int,
   /** Insert; false iff the displacement chain exhausted maxKicks (filter
     * effectively full — callers size shards to stay below that). Inserting
     * a key twice stores two fingerprint copies (like counting deletes). */
-  def insert(key: Long): Boolean = {
-    var fp = fingerprintOf(key)
-    val i1 = bucket1(key)
+  def insert(key: Long): Boolean =
+    insertFingerprint(bucket1(key), fingerprintOf(key))
+
+  /** Fingerprint-level insert given one of its two home buckets — the
+    * primitive shard MERGE needs: a stored (bucket, fp) pair from another
+    * same-geometry filter reinserts here without the original key (both
+    * homes are recoverable via the XOR involution). */
+  def insertFingerprint(i1: Int, fp0: Short): Boolean = {
+    var fp = fp0
     val i2 = altBucket(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) return true
     // displace: deterministic victim slot = kick count mod bucketSize
-    var b = if ((mix(key ^ fp.toLong) & 1L) == 0L) i1 else i2
+    var b = if ((mix(i1.toLong ^ (fp.toLong & 0xffffL)) & 1L) == 0L) i1 else i2
     var kicks = 0
     while (kicks < maxKicks) {
       val s = kicks % bucketSize
@@ -82,6 +88,30 @@ final class Cuckoo(val table: Array[Short], val numBuckets: Int,
       kicks += 1
     }
     false
+  }
+
+  /** Merge another same-geometry filter's contents into this one by
+    * fingerprint reinsertion. Membership-preserving (every key queryable in
+    * `other` stays queryable here); NOT byte-deterministic under reordering
+    * — unlike Bloom's OR-merge — which is why the seen-gate treats
+    * membership, not bytes, as the contract. False iff capacity overflowed. */
+  def mergeFrom(other: Cuckoo): Boolean = {
+    require(other.numBuckets == numBuckets && other.bucketSize == bucketSize,
+      "cuckoo merge requires identical geometry")
+    var i = 0
+    while (i < other.table.length) {
+      val fp = other.table(i)
+      if (fp != 0 && !insertFingerprint(i / bucketSize, fp)) return false
+      i += 1
+    }
+    true
+  }
+
+  def occupiedSlots: Long = {
+    var n = 0L
+    var i = 0
+    while (i < table.length) { if (table(i) != 0) n += 1; i += 1 }
+    n
   }
 
   def mightContain(key: Long): Boolean = {

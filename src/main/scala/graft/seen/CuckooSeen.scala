@@ -1,0 +1,172 @@
+package graft.seen
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.canon.UrlCanon
+
+/** One serialized cuckoo shard per salted bucket. */
+final case class CuckooShard(bucket: Int, blob: Array[Byte], n_items: Long)
+
+/** Partitioned CUCKOO URL-seen set — the north rule's second filter shape,
+  * sharing [[BloomSeen]]'s distribution scheme (shard per salted-hash
+  * bucket, broadcast-probe gate, exact-confirm composition) but adding
+  * DELETION: a url can be forgotten to schedule a re-crawl without
+  * rebuilding the shard — Bloom cannot unset bits.
+  *
+  * Trade-off vs Bloom, by construction: Bloom overfill degrades gracefully
+  * (fpp rises); a cuckoo shard past ~95% load FAILS the insert. A dropped
+  * key would be a silent exactness violation (seen url re-fetched), so the
+  * builder throws on overflow — size shards with headroom (create() sizes
+  * to 80%).
+  */
+object CuckooSeen {
+
+  /** Build shards grouped by salted bucket. Map-side partials (same
+    * Aggregator machinery as Bloom): each input partition folds its keys
+    * into a local table; partials combine by fingerprint reinsertion
+    * (membership-preserving — cuckoo has no byte-deterministic OR-merge,
+    * so MEMBERSHIP is the contract, asserted in CuckooSeenSpec). */
+  def buildShards(
+      seen: DataFrame, // col: canonical_url
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt,
+      expectedPerShard: Long = 0L): Dataset[CuckooShard] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val expect =
+      if (expectedPerShard > 0) expectedPerShard
+      else math.max(seen.count() / numBuckets + 1, 1024L)
+    val keyed = seen
+      .select(
+        BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
+        UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
+      .as[(Int, Long)]
+    val agg = new CuckooAggregator(expect).toColumn
+    keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg)
+      .map { case (bucket, (blob, n)) => CuckooShard(bucket, blob, n) }
+  }
+
+  /** Bloom-style broadcast gate: candidates the cuckoo set does NOT
+    * contain. No join; probe runs inside codegen via [[graft.functions
+    * .CuckooProbeExpr]]. */
+  def gateNotSeen(
+      candidates: DataFrame,
+      shards: Dataset[CuckooShard],
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+    import graft.functions.{CuckooProbeExpr, CuckooShardMap}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = candidates.sparkSession
+    val shardMap = new CuckooShardMap(
+      shards.collect().map(s => s.bucket -> s.blob).toMap)
+    val bc = spark.sparkContext.broadcast(shardMap)
+    val probe = Bridge.column(CuckooProbeExpr(
+      Bridge.expression(BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt)),
+      Bridge.expression(UrlCanon.saltedKey(col("canonical_url"), salt)),
+      bc))
+    candidates.filter(!probe)
+  }
+
+  /** Exact frontier-minus-seen with a cuckoo fast path (same composition
+    * as [[BloomSeen.notSeenExactWithBloomFastPath]]): negatives definitely
+    * unseen → pass; positives exact-confirmed. Row-equal to a plain exact
+    * anti join (asserted in CuckooSeenSpec). */
+  def notSeenExactWithCuckooFastPath(
+      candidates: DataFrame,
+      seen: DataFrame,
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt,
+      expectedPerShard: Long = 0L): DataFrame = {
+    import graft.functions.{CuckooProbeExpr, CuckooShardMap}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = candidates.sparkSession
+    val shards = buildShards(seen, numBuckets, salt, expectedPerShard)
+    val shardMap = new CuckooShardMap(shards.collect().map(s => s.bucket -> s.blob).toMap)
+    val bc = spark.sparkContext.broadcast(shardMap)
+    val probe = Bridge.column(CuckooProbeExpr(
+      Bridge.expression(BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt)),
+      Bridge.expression(UrlCanon.saltedKey(col("canonical_url"), salt)),
+      bc))
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negatives = cand.filter(!probe)
+    val positives = cand.filter(probe)
+    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+  }
+
+  /** DELETE urls from their shards (the re-crawl primitive Bloom lacks):
+    * distributed cogroup on the salted bucket — each task rewrites only the
+    * shards that own forgotten urls; untouched shards pass through
+    * unchanged. */
+  def forget(
+      shards: Dataset[CuckooShard],
+      urls: DataFrame, // col: canonical_url
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt): Dataset[CuckooShard] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keyed = urls
+      .select(
+        BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
+        UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
+      .as[(Int, Long)]
+    shards.groupByKey(_.bucket)
+      .cogroup(keyed.groupByKey(_._1)) { (_, shardIt, keyIt) =>
+        shardIt.map { shard =>
+          val ks = keyIt.map(_._2).toArray
+          if (ks.isEmpty) shard
+          else {
+            val f = Cuckoo.deserialize(shard.blob)
+            var removed = 0L
+            ks.foreach(k => if (f.delete(k)) removed += 1)
+            CuckooShard(shard.bucket, f.serialize(), shard.n_items - removed)
+          }
+        }
+      }
+  }
+}
+
+/** Typed Aggregator building one cuckoo filter per bucket group. Buffer is
+  * the raw fingerprint table (Array[Short]); partial buffers merge by
+  * fingerprint reinsertion. Overflow THROWS (see [[CuckooSeen]] scaladoc —
+  * a silently dropped key would be an exactness violation). */
+class CuckooAggregator(expectedPerShard: Long)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Short], (Array[Byte], Long)] {
+
+  // geometry only — don't hold (and serialize with the closure) a dead table
+  private val (numBuckets, bucketSize, maxKicks) = {
+    val s = Cuckoo.create(expectedPerShard)
+    (s.numBuckets, s.bucketSize, s.maxKicks)
+  }
+
+  private def view(buf: Array[Short]): Cuckoo =
+    new Cuckoo(buf, numBuckets, bucketSize, maxKicks)
+
+  override def zero: Array[Short] = new Array[Short](numBuckets * bucketSize)
+
+  override def reduce(buf: Array[Short], key: Long): Array[Short] = {
+    if (!view(buf).insert(key))
+      throw new IllegalStateException(
+        s"cuckoo shard overflow at expectedPerShard=$expectedPerShard — resize shards")
+    buf
+  }
+
+  override def merge(a: Array[Short], b: Array[Short]): Array[Short] = {
+    if (!view(a).mergeFrom(view(b)))
+      throw new IllegalStateException(
+        s"cuckoo shard overflow on merge at expectedPerShard=$expectedPerShard — resize shards")
+    a
+  }
+
+  override def finish(buf: Array[Short]): (Array[Byte], Long) = {
+    val f = view(buf)
+    (f.serialize(), f.occupiedSlots)
+  }
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Short]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Short]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[(Array[Byte], Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.scalaLong)
+}

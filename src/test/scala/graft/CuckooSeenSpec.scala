@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Fixture
+import graft.seen.{CuckooSeen, ExactSeen}
+
+/** Sharded cuckoo seen-set over the real fixture frontier: the gate has no
+  * false negatives, the exact-confirm composition is row-equal to the plain
+  * exact anti join, and forget() re-admits urls (the re-crawl path Bloom
+  * cannot express). */
+class CuckooSeenSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val B = 8
+
+  private def cand = Fixture.frontier(spark, dir)
+    .select(graft.canon.UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+    .distinct()
+  private def seen = Fixture.seenSet(spark, dir)
+
+  test("cuckoo fast-path composition is row-equal to the exact anti join") {
+    val exact = ExactSeen.notSeen(cand, seen)
+      .collect().map(_.getString(0)).toSet
+    val fast = CuckooSeen.notSeenExactWithCuckooFastPath(cand, seen, B)
+      .collect().map(_.getString(0)).toSet
+    assert(fast == exact, s"fast-path diff: ${(fast diff exact).take(3)} / ${(exact diff fast).take(3)}")
+  }
+
+  test("gate alone passes no seen url (no false negatives) and nearly all unseen") {
+    val shards = CuckooSeen.buildShards(seen, B)
+    val gated = CuckooSeen.gateNotSeen(cand, shards, B)
+    // no seen url may survive the gate
+    assert(ExactSeen.alreadySeen(gated, seen).count() == 0)
+    // fp-bounded: ≥ 99.9% of truly-unseen urls pass (16-bit fingerprints)
+    val unseen = ExactSeen.notSeen(cand, seen).count()
+    assert(gated.count() >= unseen * 999 / 1000)
+  }
+
+  test("forget() re-admits exactly the forgotten urls (re-crawl)") {
+    import spark.implicits._
+    val shards = CuckooSeen.buildShards(seen, B)
+    val recrawl = seen.orderBy("canonical_url").limit(50)
+    val updated = CuckooSeen.forget(shards, recrawl, B)
+    val gated = CuckooSeen.gateNotSeen(cand, shards, B)
+    val gatedAfter = CuckooSeen.gateNotSeen(cand, updated, B)
+    val reAdmitted = gatedAfter.exceptAll(gated).as[String].collect().toSet
+    val expected = recrawl.as[String].collect().toSet
+    assert(reAdmitted == expected,
+      s"missing=${(expected diff reAdmitted).take(3)} extra=${(reAdmitted diff expected).take(3)}")
+    // everything else is untouched
+    assert(gatedAfter.count() == gated.count() + expected.size)
+  }
+}
