@@ -66,9 +66,127 @@ object XmlIngest {
     }
   }
 
-  /** End-to-end: dump file → typed records. */
+  /** End-to-end: dump file → typed records (single record type). */
   def readRecords(spark: SparkSession, path: String, recordTag: String = "article"): Dataset[DblpRecord] =
     parseRecords(readRecordChunks(spark, path, recordTag), recordTag)
+
+  /** DBLP's record vocabulary (dblp.dtd): every child element of `<dblp>`. */
+  val DblpRecordTags: Set[String] = Set(
+    "article", "inproceedings", "proceedings", "book", "incollection",
+    "phdthesis", "mastersthesis", "www", "person", "data")
+
+  /** End-to-end MULTI-TYPE read — a real `dblp.xml` interleaves record
+    * types, so framing on one tag leaves complete records of OTHER types
+    * inside each chunk. Strategy: frame on the most frequent tag
+    * (`frameTag`; every chunk still ends at a frameTag close, so every
+    * other-type record inside it is complete), then parse EVERY record in
+    * the chunk, not just the framing one. Records after the last
+    * `</frameTag>` (the dump's tail fragment) are recovered too because the
+    * final lineSep split emits them as the trailing chunk. */
+  def readAllRecords(spark: SparkSession, path: String,
+      frameTag: String = "article",
+      recordTags: Set[String] = DblpRecordTags): Dataset[DblpRecord] = {
+    import spark.implicits._
+    readRecordChunks(spark, path, frameTag).mapPartitions { it =>
+      val factory = javax.xml.stream.XMLInputFactory.newInstance()
+      factory.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
+      factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      it.flatMap(chunk => parseAll(factory, chunk, recordTags))
+    }
+  }
+
+  /** Parse every complete record of any type in `recordTags` from a chunk:
+    * scan to the earliest record open tag, wrap the remainder in a
+    * synthetic root (the fragment may hold many siblings), and emit one
+    * [[DblpRecord]] per depth-1 element whose name is in the set. */
+  private[sources] def parseAll(
+      factory: javax.xml.stream.XMLInputFactory,
+      chunk: String, recordTags: Set[String]): Seq[DblpRecord] = {
+    // earliest open tag of ANY record type (skips the <?xml…><dblp> header
+    // glued to the first chunk and rejects record-less tail fragments)
+    var start = -1
+    recordTags.foreach { t =>
+      var from = 0
+      var found = -1 // -1 = still scanning; -2 = tag absent; ≥0 = hit
+      while (found == -1) {
+        val i = chunk.indexOf(s"<$t", from)
+        if (i < 0) found = -2
+        else if (chunk.length > i + t.length + 1 && {
+          val c = chunk.charAt(i + t.length + 1)
+          c == ' ' || c == '>' || c == '\t' || c == '\n'
+        }) found = i
+        else from = i + 1
+      }
+      if (found >= 0 && (start < 0 || found < start)) start = found
+    }
+    if (start < 0) Nil
+    else {
+      // the trailing chunk may carry the dump's close tag — cut it off so
+      // the synthetic root stays balanced
+      val endTrim = {
+        val i = chunk.lastIndexOf("</dblp>")
+        if (i > start) chunk.substring(start, i) else chunk.substring(start)
+      }
+      val xml = s"<__root>$endTrim</__root>"
+      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[DblpRecord]()
+        var depth = 0
+        var rtype: String = null
+        var mdate: String = null
+        var key: String = null
+        var title: String = null
+        var year: Option[Int] = None
+        var eePresent = false
+        var eeType: String = null
+        var eeText: String = null
+        var authors = scala.collection.mutable.ArrayBuffer[String]()
+        var field: String = null
+        val text = new StringBuilder
+        while (r.hasNext) {
+          r.next() match {
+            case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+              depth += 1
+              if (depth == 2 && recordTags.contains(r.getLocalName)) {
+                rtype = r.getLocalName
+                mdate = r.getAttributeValue(null, "mdate")
+                key = r.getAttributeValue(null, "key")
+                title = null; year = None; eePresent = false
+                eeType = null; eeText = null
+                authors = scala.collection.mutable.ArrayBuffer[String]()
+              } else if (depth == 3 && rtype != null) {
+                field = r.getLocalName
+                text.clear()
+                if (field == "ee") {
+                  eePresent = true
+                  eeType = r.getAttributeValue(null, "type")
+                }
+              }
+            case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
+              if (depth == 3) text.append(r.getText)
+            case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+              if (depth == 3 && rtype != null) {
+                field match {
+                  case "title" => title = text.toString
+                  case "author" => authors += text.toString
+                  case "year" => year = text.toString.trim.toIntOption
+                  case "ee" => eeText = text.toString
+                  case _ => ()
+                }
+                field = null
+              } else if (depth == 2 && rtype != null) {
+                out += DblpRecord(rtype, mdate, key, title, authors.toSeq, year,
+                  eePresent, eeType, eeText)
+                rtype = null
+              }
+              depth -= 1
+            case _ => ()
+          }
+        }
+        out.toSeq
+      } finally r.close()
+    }
+  }
 
   private[sources] def parseOne(
       factory: javax.xml.stream.XMLInputFactory,

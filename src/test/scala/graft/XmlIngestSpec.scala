@@ -66,6 +66,33 @@ class XmlIngestSpec extends SparkSpec {
     }
   }
 
+  test("multi-type dump: records of every type are recovered, including between and after frames") {
+    val mixed =
+      """<?xml version="1.0"?>
+        |<dblp>
+        |<inproceedings mdate="2024-01-01" key="ip1"><title>IP one</title><author>Ann</author><year>2020</year></inproceedings>
+        |<article mdate="2024-01-02" key="a1"><title>A one</title><author>Bob</author><year>2021</year><ee type="oa">http://x/a1</ee></article>
+        |<phdthesis mdate="2024-01-03" key="t1"><title>Thesis</title><author>Cyd</author><year>2019</year></phdthesis>
+        |<www mdate="2024-01-04" key="w1"><title>Home</title><author>Cyd</author></www>
+        |<article mdate="2024-01-05" key="a2"><title>A two</title><author>Dee</author><year>2022</year></article>
+        |<book mdate="2024-01-06" key="b1"><title>After last frame</title><author>Eve</author><year>2018</year></book>
+        |</dblp>
+        |""".stripMargin
+    val dir = Files.createTempDirectory("xmlmixed")
+    val f = dir.resolve("dblp.xml")
+    Files.write(f, mixed.getBytes(StandardCharsets.UTF_8))
+    // framed on </article> — ip1 rides inside frame 1, t1/w1 inside frame 2,
+    // b1 lives AFTER the last article close (the trailing fragment)
+    val recs = XmlIngest.readAllRecords(spark, f.toString, frameTag = "article")
+      .collect().map(r => r.key -> r).toMap
+    assert(recs.keySet == Set("ip1", "a1", "t1", "w1", "a2", "b1"), recs.keySet.toString)
+    assert(recs("ip1").rtype == "inproceedings" && recs("ip1").year.contains(2020))
+    assert(recs("a1").rtype == "article" && recs("a1").eeType == "oa")
+    assert(recs("t1").rtype == "phdthesis")
+    assert(recs("w1").rtype == "www" && recs("w1").year.isEmpty)
+    assert(recs("b1").rtype == "book" && recs("b1").title == "After last frame")
+  }
+
   test("access filter: ee-missing defaults to CLOSED; ee-without-type is dropped for every set") {
     val df = XmlIngest.readRecords(spark, writeDump(gz = false), "article").toDF()
     assert(DblpPipe.accessFilter(df, Seq("oa")).select("key")
