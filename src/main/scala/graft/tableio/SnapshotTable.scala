@@ -89,6 +89,12 @@ final class SnapshotTable(val root: String) {
     if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
     val id = head.map(_ + 1).getOrElse(0L)
     val commitDir = dataP.resolve(s"commit-$id")
+    // Crash recovery: a leftover commit-<id> dir for id > HEAD is always
+    // an ABORTED commit's debris (data written, HEAD never swapped — the
+    // snapshot isn't referenced by any manifest on the chain). Without
+    // this sweep a restart would fail PATH_ALREADY_EXISTS forever
+    // (found by ResumeSpec's crash-between-commits fault injection).
+    if (Files.exists(commitDir)) deleteRecursively(commitDir)
     val obs = org.apache.spark.sql.Observation(s"commit-$id")
     df.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
@@ -123,6 +129,13 @@ final class SnapshotTable(val root: String) {
         }
       }
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+    ()
   }
 
   private def writeAtomic(target: Path, content: String): Unit = {
