@@ -150,9 +150,14 @@ object Bench {
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
     // 6× with neighbor load (measured 132k–871k urls/s across reps of the
-    // IDENTICAL job); the max is the least-interference estimate
+    // IDENTICAL job); the max is the least-interference estimate. The
+    // progress listener (graft.metrics) rides along and reports what the
+    // headline job actually moved — records scanned and shuffled.
+    val listener = graft.metrics.Metrics.register(spark, logEveryTasks = 0)
     val (urlsPerSec, fetchedRows) =
       (1 to 4).map(_ => frontierRun(spark, benchUrls, cpus, fxMain)).maxBy(_._1)
+    val mSnap = listener.snapshot
+    listener.unregister()
     spark.stop()
 
     // -- scaling: same job + same data layout at N and 4N cores ----------
@@ -207,7 +212,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val frontier =
-      s"""{"urls":$benchUrls,"fetched":$fetchedRows,"urls_per_sec":${urlsPerSec.round}}"""
+      s"""{"urls":$benchUrls,"fetched":$fetchedRows,"urls_per_sec":${urlsPerSec.round},""" +
+      s""""tasks":${mSnap.tasks},"records_read":${mSnap.recordsRead},""" +
+      s""""shuffle_records":${mSnap.shuffleRecordsRead}}"""
     val scaling =
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""

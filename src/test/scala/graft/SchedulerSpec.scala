@@ -66,6 +66,38 @@ class SchedulerSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
   }
 
+  test("per-host budget dim overrides the default; banded variant agrees") {
+    import spark.implicits._
+    val f = (0 until 18).map { i =>
+      val host = s"h${i % 3}.example.com"
+      (s"https://$host/p$i", host, (i % 2).toLong, i.toLong, 0)
+    }.toDF("canonical_url", "host", "priority", "seed_rank", "depth")
+    val budgets = Seq(("h0.example.com", 1), ("h1.example.com", 3)).toDF("host", "budget")
+    def chk(out: org.apache.spark.sql.DataFrame): Map[(String, Long), Int] = {
+      val rows = out.select("host", "batch_id", "rank_in_batch", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      val perBudget = Map("h0.example.com" -> 1, "h1.example.com" -> 3, "h2.example.com" -> 2)
+      rows.foreach { case (h, b, rib, rk) =>
+        assert(rib < perBudget(h), s"$h rank_in_batch $rib exceeds budget")
+        assert(b == (rk - 1) / perBudget(h), s"$h batch formula broken")
+      }
+      rows.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    }
+    val plain = Scheduler.schedule(f, Some(budgets), defaultBudget = 2)
+    val sizes = chk(plain)
+    // h0 (budget 1): 6 urls → 6 batches of 1; h1 (3): 2 batches of 3;
+    // h2 (default 2): 3 batches of 2
+    assert(sizes.count(_._1._1 == "h0.example.com") == 6)
+    assert(sizes.count(_._1._1 == "h1.example.com") == 2)
+    assert(sizes.count(_._1._1 == "h2.example.com") == 3)
+    // banded variant: identical assignment
+    val banded = Scheduler.scheduleBanded(f, Some(budgets), defaultBudget = 2)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("canonical_url", "batch_id", "rank_in_batch")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(banded) == key(plain))
+  }
+
   test("robotsFilter: empty prefix means no restriction; unlisted hosts pass") {
     import spark.implicits._
     val robots = Seq(("multi.example.com", "", true))
