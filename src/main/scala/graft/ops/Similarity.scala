@@ -141,6 +141,15 @@ object Ivf {
     refined
   }
 
+  /** Assign each corpus row its coarse cluster — at 100 TB this column
+    * becomes the WRITE-TIME partition column (`write.partitionBy
+    * ("cluster")`), so a probe of nprobe lists is partition-pruned I/O
+    * instead of a corpus scan (asserted in OpsSpec). One broadcast pass,
+    * no shuffle. */
+  def assign(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("cluster", nearestCluster(col(vecCol), centroids))
+
   /** IVF top-k cosine: probe the nprobe nearest lists per query. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,

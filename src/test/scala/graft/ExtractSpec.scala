@@ -146,5 +146,11 @@ class ExtractSpec extends SparkSpec {
     val unseen = all.join(seen, Seq("canonical_url"), "left_anti").count()
     val got = passed.count()
     assert(got >= unseen * 95 / 100, s"too many fp: $got of $unseen")
+    // the partitioned (non-broadcast, 10^10-regime) gate is row-equal to
+    // the broadcast-probe gate — same shards, co-partitioned join path
+    val passedPart = BloomSeen.gateNotSeenPartitioned(all, shards, numBuckets = 4)
+    assert(passedPart.select("canonical_url").collect().map(_.getString(0)).toSet ==
+      passed.select("canonical_url").collect().map(_.getString(0)).toSet,
+      "partitioned gate diverges from broadcast gate")
   }
 }

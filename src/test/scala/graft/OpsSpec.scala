@@ -132,6 +132,24 @@ class OpsSpec extends SparkSpec {
     assert(recall3 >= 0.3 && recall3 <= recall5, s"IVF recall@10 = $recall3 (nprobe 3 of 8 lists)")
   }
 
+  test("ANN scale path: cluster id as write-time partition column → probes are partition-pruned I/O") {
+    import graft.ops.Ivf
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Ivf.train(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString + "/t"
+    Ivf.assign(emb, cents).write.partitionBy("cluster").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cluster").isin(1, 3, 5))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    // the probe reads ONLY the probed clusters' files — a partition filter
+    // at the scan, not a post-scan filter over the whole corpus
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition pruning in:\n${plan.take(1500)}")
+    val scanned = probed.select(countDistinct(col("cluster"))).head().getLong(0)
+    assert(scanned == 3)
+  }
+
   test("language-ID picks the language whose markers dominate") {
     import spark.implicits._
     val d = Seq(

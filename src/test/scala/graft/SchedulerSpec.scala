@@ -98,6 +98,18 @@ class SchedulerSpec extends SparkSpec {
     assert(key(banded) == key(plain))
   }
 
+  test("dedupFrontierGeneral (struct-min fallback) equals the packed-key dedupFrontier") {
+    import spark.implicits._
+    val f = (0 until 2000).map { i =>
+      val url = s"https://h${i % 7}.example.com/p${i % 300}" // 300 distinct urls
+      (url, (i % 50).toLong, i.toLong, s"h${i % 7}.example.com", i % 4)
+    }.toDF("canonical_url", "priority", "seed_rank", "host", "depth")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("canonical_url", "priority", "seed_rank", "depth")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(norm(Scheduler.dedupFrontierGeneral(f)) == norm(Scheduler.dedupFrontier(f)))
+  }
+
   test("robotsFilter: empty prefix means no restriction; unlisted hosts pass") {
     import spark.implicits._
     val robots = Seq(("multi.example.com", "", true))
