@@ -29,6 +29,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("watermark drops late data in append mode; on-time windows finalize exactly") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("late-src").toString
+    val ckpt = Files.createTempDirectory("late-ckpt").toString
+    val outDir = Files.createTempDirectory("late-out").toString + "/o"
+    def row(h: Int, m: Int, typ: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00"), typ, v)
+    // file-stream sources want FLAT files in the watched dir
+    def stage(name: String, rows: Seq[(java.sql.Timestamp, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("late-stage").toString + "/w"
+      rows.toDF("ts", "event_type", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$srcDir/$name"))
+      ()
+    }
+    // phase 1: on-time data through hour 0..3 — watermark advances to 02:30
+    stage("batch1.parquet", Seq(row(0, 30, "a", 1.0), row(1, 10, "a", 2.0),
+      row(2, 20, "a", 3.0), row(3, 30, "a", 4.0)))
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = Streaming.windowedEventCounts(spark, srcDir, schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    // phase 2: one LATE row for hour 0 (behind the persisted watermark) and
+    // one on-time row for hour 4
+    stage("batch2.parquet", Seq(row(0, 45, "a", 100.0), row(4, 15, "a", 5.0)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.get(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    // hour-0 window finalized WITHOUT the late row (count 1, sum 1.0):
+    // watermark (03:30 - 1h = 02:30) had passed its end before the late
+    // row arrived — the late row is DROPPED, exactly the semantics a
+    // 10^10-row streaming agg needs to bound state
+    assert(got.keys.exists(_.startsWith("2024-03-01T00")), s"hour-0 window never emitted: $got")
+    val h0 = got.find(_._1.startsWith("2024-03-01T00")).get._2
+    assert(h0 == ((1L, 1.0)), s"late row leaked into the finalized window: $h0")
+    // a batch query over the same files WOULD include the late row — the
+    // difference is the watermark, not data loss elsewhere
+    val batchH0 = spark.read.parquet(srcDir)
+      .filter(col("ts") < "2024-03-01 01:00:00")
+      .agg(count(lit(1)), sum("value")).head()
+    assert(batchH0.getLong(0) == 2 && batchH0.getDouble(1) == 101.0)
+  }
+
   test("stateful host limiter grants budget per micro-batch, state persists across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
