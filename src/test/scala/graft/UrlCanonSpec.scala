@@ -63,6 +63,39 @@ class UrlCanonSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 2000 randomly-composed messy urls — Column kernel == pure twin, idempotent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xf00dL) // seeded: deterministic fuzz
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    def mixCase(s: String): String =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    val fuzzed = (0 until 2000).map { i =>
+      val scheme = pick(Seq("http", "https", "ftp", "HTTPS", "Http"))
+      val host = mixCase(pick(Seq("h1.example.com", "a.b.c.example.org", "xn--x.example", "localhost")))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":21", ":65535"))
+      val path = pick(Seq("", "/", s"/Img/p$i.PNG", s"/a/b_$i", "/a%20b/c", "/trailing/"))
+      val query = pick(Seq("", "?q=MiXeD", s"?a=$i&b=2"))
+      val frag = pick(Seq("", "#f", "#a#b", "#"))
+      s"$scheme://$host$port$path$query$frag"
+    }
+    val rows = fuzzed.toDF("url")
+      .select(col("url"),
+        UrlCanon.canonicalUrl(col("url")).as("c1"),
+        UrlCanon.hostOf(col("url")).as("h"))
+      .select(col("url"), col("c1"), col("h"),
+        UrlCanon.canonicalUrl(col("c1")).as("c2"),
+        UrlCanon.hostOf(col("c1")).as("h2"))
+      .collect()
+    rows.foreach { r =>
+      val (url, c1, h, c2, h2) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(c1 == ReferenceSim.canonicalUrl(url), s"kernel != twin for $url")
+      assert(h == ReferenceSim.hostOf(url), s"host mismatch for $url")
+      assert(c2 == c1, s"not idempotent: $url → $c1 → $c2")
+      assert(h2 == h, s"host unstable under canonicalization: $url")
+    }
+  }
+
   test("filenameOf extracts the last path component (reference F9)") {
     import spark.implicits._
     val got = Seq("https://h/x/y/file.xml.gz").toDF("url")
