@@ -53,4 +53,42 @@ class BloomSpec extends AnyFunSuite {
     val huge = Bloom.create(100000000000L, 1e-6, maxBits = 1L << 20)
     assert(huge.numBits == (1L << 20))
   }
+
+  test("scalacheck: arbitrary key partitions — merge of partial builds == single-pass build, no FN") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genKeys = Gen.listOfN(400, Gen.long)
+    val genCut = Gen.choose(0, 400)
+    val prop = Prop.forAll(genKeys, genCut) { (ks: List[Long], cut0: Int) =>
+      val cut = math.min(cut0, ks.length)
+      val (l, r) = ks.splitAt(cut)
+      def fresh() = Bloom.create(500, 1e-4)
+      val (a, b, single) = (fresh(), fresh(), fresh())
+      l.foreach(a.put); r.foreach(b.put); ks.foreach(single.put)
+      val merged = Bloom.merge(a, b)
+      // merge equals the single-pass filter BIT-FOR-BIT, and every key is
+      // queryable (no false negatives) — for ANY key set and ANY cut point
+      merged.bits.sameElements(single.bits) && ks.forall(merged.mightContain)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("scalacheck: cuckoo insert/delete churn never loses a live key") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.seen.Cuckoo
+    // ops: (key, isDelete) — a delete only fires if the key is live
+    val genOps = Gen.listOfN(300, Gen.zip(Gen.choose(0L, 120L), Gen.prob(0.3)))
+    val prop = Prop.forAll(genOps) { ops: List[(Long, Boolean)] =>
+      val f = Cuckoo.create(600)
+      val live = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+      ops.foreach { case (k0, del) =>
+        val k = ImageCodec.mix64(k0) // spread the narrow key domain
+        if (del && live(k) > 0) { f.delete(k); live(k) -= 1 }
+        else if (!del) { f.insert(k); live(k) += 1 }
+      }
+      live.forall { case (k, n) => n == 0 || f.mightContain(k) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
