@@ -141,6 +141,14 @@ object Bench {
       name -> t
     }
 
+    // opt-in fast path for local iteration: per-query timings only
+    if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     // The sandbox host is SHARED (load from other tenants fluctuates), so
     // each measured level repeats and reports the best — the least-
     // interference estimate of the engine's own throughput — and the two

@@ -209,6 +209,103 @@ object GraftExprHelpers {
   }
 }
 
+/** minhash_buckets(shingles, numBands, rowsPerBand): per-band LSH bucket
+  * array in one kernel pass — replaces 16 interpreted `transform`/
+  * `array_min` lanes plus per-band `concat_ws`+`xxhash64` (higher-order
+  * functions are CodegenFallback; see [[TextSig]]). */
+case class MinhashBucketsExpr(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextSig.minhashBuckets(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numBands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSig.minhashBuckets($c, $numBands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBucketsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_buckets"
+}
+
+/** shingles(toks, k): k-gram strings in one kernel pass (see TextSig). */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextSig.shingles(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+/** simhash_from_hashes(hashes, bits): packed ±1-majority signature in one
+  * kernel pass — replaces `bits` interpreted `aggregate` folds. Bit-exact
+  * vs the Column fold (order-independent integer counts). */
+case class SimhashFromHashesExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSig.simhashFromHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.simhashFromHashes($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashFromHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_from_hashes"
+}
+
+/** vec_dot(a, b): double dot product with the EXACT left-fold widening
+  * semantics of `aggregate(zip_with(a,b,(x,y)=>x.castD*y.castD),0.0,_+_)`
+  * — same IEEE op sequence, so quantized cosines stay oracle-identical —
+  * in one codegen'd kernel call instead of interpreted HOF evaluation. */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if a == b &&
+      Seq(FloatType, LongType, DoubleType, IntegerType).contains(a) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two arrays of the same float/long/double/int element type, got ($a, $b)")
+  }
+  override def dataType: DataType = DoubleType
+  private def kernel: String = elem(left) match {
+    case FloatType => "dotFloat"
+    case LongType => "dotLong"
+    case DoubleType => "dotDouble"
+    case IntegerType => "dotInt"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    elem(left) match {
+      case FloatType => TextSig.dotFloat(aa, bb)
+      case LongType => TextSig.dotLong(aa, bb)
+      case DoubleType => TextSig.dotDouble(aa, bb)
+      case IntegerType => TextSig.dotInt(aa, bb)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextSig.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
 /** Column-level API over the custom expressions. */
 object graftfns {
   def phash(c: Column): Column = Bridge.column(PhashExpr(Bridge.expression(c)))
@@ -220,6 +317,14 @@ object graftfns {
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
+  def shingles(toks: Column, k: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(toks), k))
+  def minhashBuckets(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinhashBucketsExpr(Bridge.expression(shingles), numBands, rowsPerBand))
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
+    Bridge.column(SimhashFromHashesExpr(Bridge.expression(hashes), bits))
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** canonical_url(url): compact codegen'd canonicalization — see

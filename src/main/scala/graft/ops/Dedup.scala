@@ -17,21 +17,19 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles of a text column (lowercased), as an array column. */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    // sliding k-grams via transform over index range; docs shorter than k
-    // tokens get an empty shingle set (sequence(0, -1) would produce the
-    // DESCENDING range [0,-1] and slice(_, 0, _) throws in ANSI mode)
-    val n = size(toks) - (k - 1)
-    val idx = when(n > 0, sequence(lit(0), n - 1))
-      .otherwise(array().cast("array<int>"))
-    transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-  }
+  /** Word k-shingles of a text column (lowercased), as an array column.
+    * tokenize = codegen'd builtins; the k-gram construction is a kernel
+    * expression (the `transform(sequence, i -> concat_ws(slice))` form is
+    * CodegenFallback — interpreted per element). String content is exact
+    * concat_ws parity; short docs get an empty shingle set. */
+  def shingles(textCol: Column, k: Int): Column =
+    graft.functions.graftfns.shingles(split(lower(trim(textCol)), "\\s+"), k)
 
   /** MinHash signature (numHashes values) of a shingle array. Each hash
-    * family member h_i(x) = xxhash64(x, seed_i); min over shingles. Pure
-    * Column expression — stays in codegen, no UDF. */
+    * family member h_i(x) = xxhash64(x, seed_i); min over shingles.
+    * NOTE: higher-order-function form kept for reference/tests; the hot
+    * path uses the [[graft.functions.TextSig.minhashBuckets]] kernel
+    * (HOFs evaluate interpreted — CodegenFallback). */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleArr, s => xxhash64(s, lit(i))))
@@ -47,20 +45,14 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numBands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 100000): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    // materialize the shingle array ONCE: inlining it into each of the
-    // numHashes signature lanes multiplies the codegen'd expression tree
-    // by numHashes (measured 120s→<1s at 16 lanes)
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    // one row per band: (band, bucket = hash of the band's signature slice)
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))),
-            lit(0x1567)).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // signature + banding in ONE kernel pass (graft.functions.TextSig):
+    // the transform/array_min HOF form is CodegenFallback — interpreted,
+    // ~1600 closure dispatches per row at 16 lanes × ~100 shingles
+    val banded = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col("id"),
+        graft.functions.graftfns.minhashBuckets(col("sh"), numBands, rowsPerBand).as("bk"))
+      .select(col("id"), posexplode(col("bk")).as(Seq("band", "bucket")))
     // degenerate-bucket bound (see simhashCandidates scaladoc): exact-dup
     // mass collapses via Dedup.exact BEFORE LSH; anything still oversized
     // is skipped rather than joined quadratically
@@ -104,19 +96,15 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     simhashFromHashes(transform(split(lower(trim(textCol)), "\\s+"), t => xxhash64(t)), 64)
 
-  /** simhash from a MATERIALIZED token-hash array column — callers must
-    * project the hash array into its own column first, else the array
-    * expression is inlined into all `bits` bit lanes (codegen blow-up).
-    * `bits` ≤ 64; fewer bits suit token hashes narrower than a long
-    * (e.g. a 60-bit md5-prefix hash that a SQL oracle can reproduce). */
+  /** simhash from a token-hash array column. `bits` ≤ 64; fewer bits suit
+    * token hashes narrower than a long (e.g. a 60-bit md5-prefix hash that
+    * a SQL oracle can reproduce). One kernel pass
+    * ([[graft.functions.TextSig.simhashFromHashes]]) — bit-identical to
+    * the per-bit `aggregate` fold (order-independent integer counts) but
+    * codegen'd instead of `bits`× interpreted HOF evaluations. */
   def simhashFromHashes(hashes: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 64)
-    val lanes = (0 until bits).map { b =>
-      val cnt = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    lanes.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.graftfns.simhashFromHashes(hashes, bits)
   }
 
   /** SimHash near-dup candidates: band the `bits`-wide simhash into

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** elementwise dot product of two array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** elementwise dot product of two array columns, in double — a codegen'd
+    * kernel ([[graft.functions.TextSig]]) with the EXACT left-fold widening
+    * order of the `aggregate(zip_with(...))` form it replaces (HOFs are
+    * CodegenFallback: interpreted, boxed), so oracle doubles are unchanged. */
+  def dot(a: Column, b: Column): Column = graft.functions.graftfns.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
