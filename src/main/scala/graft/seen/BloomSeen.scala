@@ -115,7 +115,10 @@ object BloomSeen {
     import graft.functions.{BloomProbeExpr, BloomShardMap}
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = candidates.sparkSession
-    val shards = buildShards(seen, numBuckets, fpp, salt, expectedPerShard)
+    // seen is consumed up to three times (sizing count, shard build, exact
+    // confirm) — persist so the derivation pipeline runs once
+    val seenP = seen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shards = buildShards(seenP, numBuckets, fpp, salt, expectedPerShard)
     val shardMap = new BloomShardMap(shards.collect().map(s => s.bucket -> s.blob).toMap)
     val bc = spark.sparkContext.broadcast(shardMap)
     val probe = Bridge.column(BloomProbeExpr(
@@ -130,7 +133,7 @@ object BloomSeen {
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val negatives = cand.filter(!probe)
     val positives = cand.filter(probe)
-    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+    negatives.unionByName(ExactSeen.notSeen(positives, seenP))
   }
 
   /** Join-based gate for shard sets too big to broadcast: one shuffle

@@ -82,7 +82,10 @@ object CuckooSeen {
     import graft.functions.{CuckooProbeExpr, CuckooShardMap}
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = candidates.sparkSession
-    val shards = buildShards(seen, numBuckets, salt, expectedPerShard)
+    // seen is consumed three times (sizing count, shard build, exact
+    // confirm) — persist so the derivation pipeline runs once
+    val seenP = seen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shards = buildShards(seenP, numBuckets, salt, expectedPerShard)
     val shardMap = new CuckooShardMap(shards.collect().map(s => s.bucket -> s.blob).toMap)
     val bc = spark.sparkContext.broadcast(shardMap)
     val probe = Bridge.column(CuckooProbeExpr(
@@ -92,7 +95,7 @@ object CuckooSeen {
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val negatives = cand.filter(!probe)
     val positives = cand.filter(probe)
-    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+    negatives.unionByName(ExactSeen.notSeen(positives, seenP))
   }
 
   /** DELETE urls from their shards (the re-crawl primitive Bloom lacks):
