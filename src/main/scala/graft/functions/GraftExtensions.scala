@@ -37,7 +37,25 @@ object GraftExtensions {
     ("bloom_might_contain", "bloom_might_contain(blob, key) - Bloom shard membership probe",
       args => BloomMightContainExpr(args.head, args(1))),
     ("resize_nn", "resize_nn(bytes, w, h) - nearest-neighbor resize, re-encoded in the same format",
-      args => ResizeExpr(args.head, args(1), args(2))))
+      args => ResizeExpr(args.head, args(1), args(2))),
+    ("shingles", "shingles(toks, k) - word k-gram strings from a token array",
+      args => ShinglesExpr(args.head, litInt(args(1)))),
+    ("minhash_buckets", "minhash_buckets(shingles, numBands, rowsPerBand) - per-band minhash LSH buckets",
+      args => MinhashBucketsExpr(args.head, litInt(args(1)), litInt(args(2)))),
+    ("simhash_from_hashes", "simhash_from_hashes(hashes, bits) - packed simhash of a token-hash array",
+      args => SimhashFromHashesExpr(args.head, litInt(args(1)))),
+    ("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays",
+      args => DotExpr(args.head, args(1))))
+
+  /** Foldable-int argument for SQL-facing parameterized kernels. */
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a literal integer argument, got $other")
+  }
 
   /** Register on a live session (the withExtensions path requires building
     * a brand-new session; this one works on an existing/new-child one). */

@@ -54,5 +54,15 @@ class ExportSpec extends SparkSpec {
     assert(row.getAs[String]("f") == graft.model.Synth.fmtOf(3))
     assert(row.getAs[Double]("snr").isPosInfinity)
     assert(row.getAs[Int]("rw") == 8)
+    // signature/similarity kernels are SQL-callable too
+    val sig = s2.sql(
+      """SELECT shingles(split('a b c d', ' '), 3) AS sh,
+        |  size(minhash_buckets(shingles(split('a b c d', ' '), 3), 4, 4)) AS nb,
+        |  simhash_from_hashes(array(1L, 3L, 3L), 4) AS sim,
+        |  vec_dot(array(1L, 2L), array(3L, 4L)) AS d""".stripMargin).head()
+    assert(sig.getSeq[String](0).toSeq == Seq("a b c", "b c d"))
+    assert(sig.getAs[Int]("nb") == 4)
+    assert(sig.getAs[Long]("sim") == 3L) // bits 0,1 majority-positive
+    assert(sig.getAs[Double]("d") == 11.0)
   }
 }
