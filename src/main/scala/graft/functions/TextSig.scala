@@ -116,6 +116,77 @@ object TextSig {
     new GenericArrayData(out)
   }
 
+  /** Hyperplane component matrix for (planes × dims), memoized per shape:
+    * comp(p, i) = (pmod(xxhash64(i, p, 0x9e37L), 2000000) / 1e6) - 1 with
+    * Spark's EXACT multi-arg xxhash64 chaining (seed 42, left fold) — the
+    * Column form recomputes every component per ROW; the kernel pays it
+    * once per executor. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dims), { _ =>
+      Array.tabulate(planes, dims) { (p, i) =>
+        var h = XXH64.hashInt(i, 42L)
+        h = XXH64.hashInt(p, h)
+        h = XXH64.hashLong(0x9e37L, h)
+        val m = ((h % 2000000L) + 2000000L) % 2000000L
+        (m.toDouble / 1000000.0) - 1.0
+      }
+    })
+
+  /** Packed hyperplane sign signature — kernel twin of the
+    * `zip_with`+`aggregate` Column form, bit-identical (same component
+    * values, same left-fold double accumulation). isFloat selects the
+    * element accessor (float embeddings vs quantized longs). */
+  def hyperplaneSig(vec: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    val comp = planeMatrix(planes, n)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = comp(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getLong(i).toDouble
+        acc += x * row(i)
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** argmin cluster over fixed centroids by squared L2 — kernel twin of
+    * `array_min` over (dist, cid) structs: element-order (x-c)^2 left fold
+    * per centroid, strict-less update ⇒ lowest cid wins ties, identical
+    * doubles ⇒ identical assignment. */
+  def nearestCluster(vec: ArrayData, cents: Array[Array[Double]], cids: Array[Int],
+      isFloat: Boolean): Int = {
+    val n = vec.numElements()
+    var best = Double.PositiveInfinity
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getLong(i).toDouble
+        val d = x - cv(i)
+        acc += d * d
+        i += 1
+      }
+      // strict less ⇒ the earliest (lowest-cid, cents are cid-ascending)
+      // centroid wins ties — the array_min struct tie-break
+      if (acc < best) { best = acc; bestC = c }
+      c += 1
+    }
+    cids(bestC) // cids may be sparse after a Lloyd step empties a cell
+  }
+
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

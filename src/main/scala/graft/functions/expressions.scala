@@ -266,6 +266,61 @@ case class SimhashFromHashesExpr(child: Expression, bits: Int) extends UnaryExpr
   override def prettyName: String = "simhash_from_hashes"
 }
 
+/** hyperplane_sig(vec, planes): packed random-hyperplane sign signature —
+  * kernel twin of the zip_with/aggregate Column form (bit-identical
+  * components and fold order; plane matrix memoized per executor instead
+  * of recomputed per row). */
+case class HyperplaneSigExpr(child: Expression, planes: Int) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT> or ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSig.hyperplaneSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.hyperplaneSig($c, $planes, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** nearest_cluster(vec): argmin squared-L2 over fixed centroids (IVF
+  * coarse quantizer) — kernel twin of array_min over (dist, cid) structs
+  * with identical doubles and tie-break; centroids ride as a reference
+  * object instead of being inlined per row. */
+case class NearestClusterExpr(child: Expression,
+    cents: Array[Array[Double]], cids: Array[Int]) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT> or ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextSig.nearestCluster(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, cids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val cidsRef = ctx.addReferenceObj("ivfCids", cids, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSig.nearestCluster($c, $centsRef, $cidsRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestClusterExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cluster"
+}
+
 /** vec_dot(a, b): double dot product with the EXACT left-fold widening
   * semantics of `aggregate(zip_with(a,b,(x,y)=>x.castD*y.castD),0.0,_+_)`
   * — same IEEE op sequence, so quantized cosines stay oracle-identical —
@@ -325,6 +380,10 @@ object graftfns {
     Bridge.column(SimhashFromHashesExpr(Bridge.expression(hashes), bits))
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplaneSig(vec: Column, planes: Int): Column =
+    Bridge.column(HyperplaneSigExpr(Bridge.expression(vec), planes))
+  def nearestCluster(vec: Column, cents: Array[Array[Double]], cids: Array[Int]): Column =
+    Bridge.column(NearestClusterExpr(Bridge.expression(vec), cents, cids))
 }
 
 /** canonical_url(url): compact codegen'd canonicalization — see

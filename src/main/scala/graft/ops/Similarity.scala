@@ -39,22 +39,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash mapped to [-1, 1). No RNG state, reproducible anywhere. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(i, lit(p), lit(0x9e37L)), lit(2000000L)).cast("double") / 1000000.0) - 1.0
-
   /** Random-hyperplane sign signature packed into a long: bit p = sign of
-    * <v, plane_p>. Buckets vectors so near-identical directions collide. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until planes).map { p =>
-      val d = aggregate(zip_with(vec, idx, (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * <v, plane_p>, components from a deterministic hash mapped to [-1, 1)
+    * (no RNG state, reproducible anywhere). Kernel expression
+    * ([[graft.functions.TextSig.hyperplaneSig]]): bit-identical to the
+    * zip_with/aggregate Column form it replaces, but the plane matrix is
+    * memoized per executor instead of re-hashed per row, and the fold is
+    * codegen'd instead of interpreted HOF evaluation. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    graft.functions.graftfns.hyperplaneSig(vec, planes)
 
   /** LSH-bucketed ANN: probe only vectors sharing the query's hyperplane
     * bucket (plus all buckets within `probeHamming` sign flips, multi-probe
@@ -104,18 +97,21 @@ object Similarity {
 object Ivf {
   import org.apache.spark.sql.functions._
 
-  /** squared L2 distance of a vector column to a fixed centroid. */
+  /** squared L2 distance of a vector column to a fixed centroid (used for
+    * the tiny per-query probe ranking; the per-ROW assignment path uses
+    * the kernel below). */
   private def dist2(vec: Column, centroid: Seq[Double]): Column =
     aggregate(zip_with(vec, typedlit(centroid), (x, c) =>
       (x.cast("double") - c) * (x.cast("double") - c)), lit(0.0), (a, v) => a + v)
 
-  /** argmin cluster id over fixed centroids, as one array_min over
-    * (distance, id) structs — struct ordering is lexicographic, so the
-    * min is the nearest centroid with deterministic id tiebreak. */
+  /** argmin cluster id over fixed centroids — a kernel expression
+    * ([[graft.functions.TextSig.nearestCluster]]) with the same doubles
+    * and lowest-cid tie-break as the array_min-over-structs form, minus
+    * nlist× interpreted HOF folds per row. Handles sparse cids (a Lloyd
+    * step can empty a cell). */
   private def nearestCluster(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(centroids.map { case (cid, c) =>
-      struct(dist2(vec, c).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    graft.functions.graftfns.nearestCluster(vec,
+      centroids.map(_._2.toArray).toArray, centroids.map(_._1).toArray)
 
   /** Train the coarse quantizer: seeds = the nlist smallest ids
     * (deterministic), one Lloyd refinement via posexplode+avg. Returns the
