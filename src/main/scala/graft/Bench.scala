@@ -133,18 +133,32 @@ object Bench {
     val spark = mkSession(cpus)
 
     // -- per-operator timings (after one untimed warm-up of each) -------
+    // Warm-up failures are not swallowed into the record: any query that
+    // throws in the TIMED pass lands in `query_errors` (a broken query must
+    // not silently bench ~0s and flatter the total). A clean round emits
+    // "query_errors":{}.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = time { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      val t = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errs(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(160)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+        }
+      }
       name -> t
     }
+    def errsJson: String =
+      errs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
     // opt-in fast path for local iteration: per-query timings only
     if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"query_errors":$errsJson,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -227,7 +241,7 @@ object Bench {
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

@@ -86,15 +86,18 @@ object SparkEntry {
 
     // Politeness scheduler core: per-host budget as window rank
     // (SURVEY.md §2.4 note; north_rule "priority-queue scheduler
-    // expressed as window-ranked micro-batches"). Budget = 2.
+    // expressed as window-ranked micro-batches"). Budget = 2. Uses the
+    // BANDED rank — the skew-split plan the engine auto-selects at ≥1M
+    // urls (CrawlPipeline.Config.bandedAutoThreshold) — which is
+    // bit-identical to the single-window form (asserted in CrawlOrderSpec)
+    // but spreads a Zipf-hot host over #priority-bands tasks, so the
+    // driver-benched query is the plan that runs at 100 TB.
     "c5_politeness_rank" -> ((s, dir) => {
       val f = Fixture.frontier(s, dir).select(
         UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
         UrlCanon.hostOf(col("url")).as("host"),
         col("priority"), col("seed_rank"))
-      val w = Window.partitionBy(col("host"))
-        .orderBy(col("priority"), col("seed_rank"), col("canonical_url"))
-      f.withColumn("rk", row_number().over(w))
+      graft.sched.Scheduler.scheduleBanded(f, None, defaultBudget = 2)
         .filter(col("rk") <= 2)
         .select(col("host"), col("canonical_url"), col("priority"), col("seed_rank"), col("rk"))
     }),
@@ -114,6 +117,38 @@ object SparkEntry {
         .distinct()
       graft.seen.CuckooSeen.notSeenExactWithCuckooFastPath(
         cand, Fixture.seenSet(s, dir), numBuckets = 16)
+    }),
+
+    // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
+    // re-read → project. The oracle sees the ORIGINAL table, so a green row
+    // proves the round trip is byte-faithful (text goes through an md5 so
+    // the whole payload is compared, not a prefix).
+    "c23_export_jsonl" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-export-jsonl-${math.abs(dir.hashCode)}"
+      graft.sources.Export.toJsonlGz(docs, out)
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(out)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"), col("source"))
+    }),
+
+    // K3 flattened tab/gzip/CRLF CSV export sink (s2processor.py:240-257):
+    // struct columns json_normalize-flattened into dotted headers, written
+    // tab-separated gzip CRLF, re-read, dotted columns renamed for the
+    // oracle compare.
+    "c24_export_csv" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir).select(
+        col("doc_id"),
+        struct(col("source").as("source"), col("n_chars").as("n_chars")).as("meta"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-export-csv-${math.abs(dir.hashCode)}"
+      graft.sources.Export.toCsvGz(docs, out)
+      s.read.option("sep", "\t").option("header", "true").option("lineSep", "\r\n")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("meta.source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("meta.n_chars", org.apache.spark.sql.types.LongType))))
+        .csv(out)
+        .select(col("doc_id"), col("`meta.source`").as("meta_source"),
+          col("`meta.n_chars`").as("meta_n_chars"))
     })
   )
 
@@ -164,6 +199,14 @@ object SparkEntry {
     "c22_cuckoo_gate" ->
       s"""WITH ${OracleSql.canonFrontierCte}
          |SELECT DISTINCT canonical_url FROM cfrontier c
-         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin
+         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin,
+
+    // the oracle reads the ORIGINAL documents table — equality proves the
+    // export → re-read round trip lost nothing
+    "c23_export_jsonl" ->
+      """SELECT doc_id, md5(text) AS text_md5, source FROM documents""",
+
+    "c24_export_csv" ->
+      """SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars FROM documents"""
   ) ++ RefOpsQueries.oracle ++ DataOpsQueries.oracle
 }

@@ -187,8 +187,22 @@ object TextSig {
     cids(bestC) // cids may be sparse after a Lloyd step empties a cell
   }
 
+  /** Dot-product kernels. IEEE-identical to `aggregate(zip_with(a, b,
+    * (x,y) -> x*y), 0D, (s,v) -> s+v)` for EQUAL-LENGTH arrays (same
+    * left-fold order, each element widened to double first). Ragged input
+    * RAISES instead of silently truncating — the HOF form would null-pad
+    * and return NULL, so a truncated sum would be a silent divergence;
+    * embeddings of mixed dimensionality are a data bug upstream. */
+  @inline private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch ($n vs ${b.numElements()}) — mixed-dimensionality embeddings")
+    n
+  }
+
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -196,7 +210,7 @@ object TextSig {
   }
 
   def dotLong(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getLong(i).toDouble * b.getLong(i).toDouble; i += 1 }
@@ -204,7 +218,7 @@ object TextSig {
   }
 
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -212,7 +226,7 @@ object TextSig {
   }
 
   def dotInt(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getInt(i).toDouble * b.getInt(i).toDouble; i += 1 }

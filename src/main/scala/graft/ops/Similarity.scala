@@ -147,12 +147,31 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame =
     corpus.withColumn("cluster", nearestCluster(col(vecCol), centroids))
 
-  /** IVF top-k cosine: probe the nprobe nearest lists per query. */
+  /** Per-JVM centroid cache: train ONCE per corpus, reuse across queries.
+    * The index is a property of the corpus, not of any query — retraining
+    * inside every topK call would run two extra jobs (seed collect + Lloyd
+    * agg) per invocation; at 100 TB the trained centroids are persisted
+    * next to the cluster-partitioned table and loaded, which this memo
+    * models in-process. Keyed by caller-chosen corpus tag + nlist; the
+    * centroid payload is nlist×dims doubles (KBs). */
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+
+  def trainCached(corpusTag: String, corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] =
+    trainedCache.computeIfAbsent(s"$corpusTag#$nlist#$idCol#$vecCol",
+      _ => train(corpus, nlist, idCol, vecCol))
+
+  /** IVF top-k cosine: probe the nprobe nearest lists per query.
+    * Pass pre-trained `centroids` ([[train]]/[[trainCached]]) to reuse one
+    * index across queries — the production shape; the None default trains
+    * on the fly (self-contained exploratory call). */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = train(corpus, nlist, idCol, vecCol)
+    val cents = centroids.getOrElse(train(corpus, nlist, idCol, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cluster", nearestCluster(col("cv"), cents))
     // per query: the nprobe nearest clusters, via sorted (dist, cid) structs

@@ -113,8 +113,14 @@ object CrawlPipeline {
     // gate (planAll's seenSnapshot) serves *new* seed campaigns instead.
     val scheduled = planAll(spark, cfg, seeds, None).persist()
     try {
-      val batchIds = scheduled.select("batch_id").distinct()
-        .orderBy("batch_id").collect().map(_.getLong(0)) // small: ≤ max urls/host
+      // Batch ids are DENSE 0..max by construction: per host, batch_id =
+      // (rk-1)/budget starts at 0 and increments by 1, so the union over
+      // hosts is a contiguous prefix of the naturals. The loop therefore
+      // iterates NUMERICALLY off one scalar agg(max) — it never collects
+      // the distinct id set to the driver, which at the 10^10-url regime
+      // would be ~10^8 ids (GBs) for a Zipf-hot host at small budgets.
+      val maxRow = scheduled.agg(max(col("batch_id"))).head()
+      val maxBatch = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       // A batch is done only when BOTH tables carry its commit. A crash
       // between the two commits (fetched landed, seen didn't) must heal on
       // replay, not be skipped — otherwise seenT is permanently missing the
@@ -124,7 +130,7 @@ object CrawlPipeline {
       val doneF = fetchedT.committedBatchIds
       val doneS = seenT.committedBatchIds
       var processed = 0
-      batchIds.iterator.takeWhile(_ => processed < maxBatchesThisRun).foreach { b =>
+      (0L to maxBatch).iterator.takeWhile(_ => processed < maxBatchesThisRun).foreach { b =>
         if (!(doneF.contains(b) && doneS.contains(b))) {
           val batch = scheduled.filter(col("batch_id") === b)
           if (!doneF.contains(b)) {

@@ -104,7 +104,12 @@ object BloomSeen {
     * |candidates ∩ seen| + fp. Both probe branches filter the SAME child
     * subtree, so the upstream shuffle is computed once (AQE stage reuse).
     * Result is row-for-row equal to a plain exact anti join (asserted in
-    * CrawlOrderSpec). */
+    * CrawlOrderSpec).
+    *
+    * Cache lifecycle: both inputs are persisted (multi-consumer plans) and
+    * stay cached after return because the result is LAZY — callers own the
+    * release (unpersist / `cacheManager.clearCache()` after consuming) in
+    * long-lived sessions; see [[graft.seen.CuckooSeen]]. */
   def notSeenExactWithBloomFastPath(
       candidates: DataFrame,
       seen: DataFrame,

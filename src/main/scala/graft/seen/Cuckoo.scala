@@ -61,19 +61,36 @@ final class Cuckoo(val table: Array[Short], val numBuckets: Int,
     false
   }
 
+  private def containsAt(b: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < bucketSize) {
+      if (table(slot(b, s)) == fp) return true
+      s += 1
+    }
+    false
+  }
+
   /** Insert; false iff the displacement chain exhausted maxKicks (filter
-    * effectively full — callers size shards to stay below that). Inserting
-    * a key twice stores two fingerprint copies (like counting deletes). */
+    * effectively full — callers size shards to stay below that).
+    * IDEMPOTENT: re-inserting a present fingerprint is a no-op (set
+    * semantics, not counting) — so duplicate keys in a build stream cannot
+    * overfill a shard or make the displacement chain unsatisfiable, and
+    * [[delete]] fully removes a key however many times it was inserted. */
   def insert(key: Long): Boolean =
     insertFingerprint(bucket1(key), fingerprintOf(key))
 
   /** Fingerprint-level insert given one of its two home buckets — the
     * primitive shard MERGE needs: a stored (bucket, fp) pair from another
     * same-geometry filter reinserts here without the original key (both
-    * homes are recoverable via the XOR involution). */
+    * homes are recoverable via the XOR involution). Idempotent: a
+    * fingerprint already present in either home bucket is not duplicated
+    * (membership-equivalent, and the only duplicate-tolerance contract the
+    * seen-set builder can give — cross-partition duplicate keys meet here
+    * during partial-buffer merge). */
   def insertFingerprint(i1: Int, fp0: Short): Boolean = {
     var fp = fp0
     val i2 = altBucket(i1, fp)
+    if (containsAt(i1, fp) || containsAt(i2, fp)) return true
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) return true
     // displace: deterministic victim slot = kick count mod bucketSize
     var b = if ((mix(i1.toLong ^ (fp.toLong & 0xffffL)) & 1L) == 0L) i1 else i2
@@ -166,7 +183,11 @@ object Cuckoo {
     var buckets = math.max(1L, (slots / bucketSize).toLong)
     // next power of two: makes the XOR bucket walk well-distributed
     buckets = java.lang.Long.highestOneBit(math.max(1L, buckets - 1)) << 1
-    new Cuckoo(new Array[Short]((buckets * bucketSize).toInt), buckets.toInt,
+    // fail loudly past the JVM array bound instead of silently wrapping the
+    // Int product (expectedItems ≳1.7B): oversized shard requests must
+    // re-shard, not mis-size
+    val tableLen = Math.toIntExact(buckets * bucketSize)
+    new Cuckoo(new Array[Short](tableLen), Math.toIntExact(buckets),
       bucketSize, maxKicks)
   }
 

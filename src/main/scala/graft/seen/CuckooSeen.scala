@@ -26,7 +26,11 @@ object CuckooSeen {
     * Aggregator machinery as Bloom): each input partition folds its keys
     * into a local table; partials combine by fingerprint reinsertion
     * (membership-preserving — cuckoo has no byte-deterministic OR-merge,
-    * so MEMBERSHIP is the contract, asserted in CuckooSeenSpec). */
+    * so MEMBERSHIP is the contract, asserted in CuckooSeenSpec).
+    * DUPLICATE-TOLERANT like the Bloom path: [[Cuckoo]] inserts are
+    * idempotent at the fingerprint level (set semantics), so repeated
+    * canonical_urls — within a partition or meeting at partial-merge —
+    * store one copy and can never overfill a shard. */
   def buildShards(
       seen: DataFrame, // col: canonical_url
       numBuckets: Int,
@@ -72,7 +76,16 @@ object CuckooSeen {
   /** Exact frontier-minus-seen with a cuckoo fast path (same composition
     * as [[BloomSeen.notSeenExactWithBloomFastPath]]): negatives definitely
     * unseen → pass; positives exact-confirmed. Row-equal to a plain exact
-    * anti join (asserted in CuckooSeenSpec). */
+    * anti join (asserted in CuckooSeenSpec).
+    *
+    * Cache lifecycle: both inputs are persisted (each is consumed more than
+    * once by the composed plan — Catalyst would otherwise recompute the
+    * full upstream derivation per consumer) and stay cached after return
+    * because the result is LAZY — the exact-confirm branch still needs them
+    * when the caller materializes. Callers own the release: a long-lived
+    * session invoking the gate repeatedly should unpersist via
+    * `spark.sharedState.cacheManager.clearCache()` (or persist/unpersist
+    * the inputs themselves around the call) once the result is consumed. */
   def notSeenExactWithCuckooFastPath(
       candidates: DataFrame,
       seen: DataFrame,

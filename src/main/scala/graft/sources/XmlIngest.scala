@@ -85,13 +85,14 @@ object XmlIngest {
     * final lineSep split emits them as the trailing chunk. */
   def readAllRecords(spark: SparkSession, path: String,
       frameTag: String = "article",
-      recordTags: Set[String] = DblpRecordTags): Dataset[DblpRecord] = {
+      recordTags: Set[String] = DblpRecordTags,
+      rootTag: String = "dblp"): Dataset[DblpRecord] = {
     import spark.implicits._
     readRecordChunks(spark, path, frameTag).mapPartitions { it =>
       val factory = javax.xml.stream.XMLInputFactory.newInstance()
       factory.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
       factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-      it.flatMap(chunk => parseAll(factory, chunk, recordTags))
+      it.flatMap(chunk => parseAll(factory, chunk, recordTags, rootTag))
     }
   }
 
@@ -101,7 +102,8 @@ object XmlIngest {
     * [[DblpRecord]] per depth-1 element whose name is in the set. */
   private[sources] def parseAll(
       factory: javax.xml.stream.XMLInputFactory,
-      chunk: String, recordTags: Set[String]): Seq[DblpRecord] = {
+      chunk: String, recordTags: Set[String],
+      rootTag: String = "dblp"): Seq[DblpRecord] = {
     // earliest open tag of ANY record type (skips the <?xml…><dblp> header
     // glued to the first chunk and rejects record-less tail fragments)
     var start = -1
@@ -124,7 +126,7 @@ object XmlIngest {
       // the trailing chunk may carry the dump's close tag — cut it off so
       // the synthetic root stays balanced
       val endTrim = {
-        val i = chunk.lastIndexOf("</dblp>")
+        val i = chunk.lastIndexOf(s"</$rootTag>")
         if (i > start) chunk.substring(start, i) else chunk.substring(start)
       }
       val xml = s"<__root>$endTrim</__root>"
@@ -163,7 +165,10 @@ object XmlIngest {
                 }
               }
             case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
-              if (depth == 3) text.append(r.getText)
+              // depth ≥ field depth: mixed-content markup (<i>, <sub>, <ref>
+              // in real DBLP titles) is transparent — nested text
+              // accumulates into the open field like xmltodict's cdata join
+              if (depth >= 3 && field != null) text.append(r.getText)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
               if (depth == 3 && rtype != null) {
                 field match {
@@ -230,7 +235,8 @@ object XmlIngest {
                 }
               }
             case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
-              if (depth == 2) text.append(r.getText)
+              // nested markup transparent — see parseAll
+              if (depth >= 2 && field != null) text.append(r.getText)
             case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
               if (depth == 2) {
                 field match {

@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.CrawlPipeline
+import graft.refpipe.DblpPipe
+import graft.sources.{Export, XmlIngest}
+
+/** Flags → pipeline entry point — the analog of the reference's single CLI
+  * (csinsights/process.py:24-153, 18 click options): the reference's whole
+  * "query language" is its flag surface, so the engine exposes the same
+  * knobs bound to the native Spark pipes instead of click callbacks.
+  *
+  * Reference option → engine binding:
+  *  - `--cache_dir`            → snapshot-table root (resumable commits)
+  *  - `--dblp_dump PATH`       → [[XmlIngest.readAllRecords]] (E2 ingest;
+  *                               the reference's release download step —
+  *                               this engine takes the dump as input, it
+  *                               does not fetch over the network)
+  *  - `--dblp_access_type`     → [[DblpPipe.downloadAndFilterRelease]]
+  *    `--dblp_use_filters`       (open|closed|all, ALL+filters raises —
+  *    `--dblp_from_timestamp`    the reference's latent bug, mirrored)
+  *  - `--s2_filter_{acl,dblp,pubmed,pubmedcentral,arxiv}` → the external-id
+  *    OR-presence filter sources ([[graft.refpipe.RefPipe.externalIdFilter]])
+  *  - `--s2_use_*` dataset toggles → recorded in the summary (dataset
+  *    DOWNLOAD is out of engine scope; the merge of enabled datasets is
+  *    [[graft.refpipe.RefPipe.processData]], driven where the data lives)
+  *  - `--export_jsonl DIR` / `--export_csv DIR` → K2/K3 sinks
+  *  - crawl-engine knobs (no reference analog — the frontier scheduler is
+  *    the north rule's addition): `--urls --budget --partitions --banded
+  *    --reference_equivalence --max_batches --verbose`
+  *
+  * Unknown flags fail loudly (the reference's click does the same).
+  */
+object CrawlCli {
+
+  final case class Args(
+      cacheDir: String = "/tmp/graft-cache/cli",
+      dblpDump: Option[String] = None,
+      dblpAccessTypes: Seq[String] = Seq("open"),
+      dblpUseFilters: Boolean = false,
+      dblpFromTimestamp: String = "1980-01-01",
+      s2Sources: Seq[String] = Nil,
+      s2Use: Set[String] = Set.empty,
+      exportJsonl: Option[String] = None,
+      exportCsv: Option[String] = None,
+      urls: Long = 10000L,
+      budget: Int = 2,
+      partitions: Int = 8,
+      banded: Boolean = false,
+      referenceEquivalence: Boolean = false,
+      maxBatches: Int = Int.MaxValue,
+      verbose: Boolean = false)
+
+  def parse(argv: Seq[String]): Args = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    @annotation.tailrec
+    def go(rest: List[String], a: Args): Args = rest match {
+      case Nil => a
+      case "--cache_dir" :: v :: t => go(t, a.copy(cacheDir = v))
+      case "--dblp_dump" :: v :: t => go(t, a.copy(dblpDump = Some(v)))
+      case "--dblp_access_type" :: v :: t =>
+        go(t, a.copy(dblpAccessTypes = v.split(",").toSeq.map(_.trim.toLowerCase)))
+      case "--dblp_use_filters" :: t => go(t, a.copy(dblpUseFilters = true))
+      case "--dblp_from_timestamp" :: v :: t => go(t, a.copy(dblpFromTimestamp = v))
+      case f :: t if f.startsWith("--s2_filter_") =>
+        go(t, a.copy(s2Sources = a.s2Sources :+ (f.stripPrefix("--s2_filter_") match {
+          case "acl" => "ACL"
+          case "dblp" => "DBLP"
+          case "pubmed" => "PubMed"
+          case "pubmedcentral" => "PubMedCentral"
+          case "arxiv" => "ArXiv"
+          case other => fail(s"unknown s2 filter source: $other")
+        })))
+      case f :: t if f.startsWith("--s2_use_") =>
+        go(t, a.copy(s2Use = a.s2Use + f.stripPrefix("--s2_use_")))
+      case "--export_jsonl" :: v :: t => go(t, a.copy(exportJsonl = Some(v)))
+      case "--export_csv" :: v :: t => go(t, a.copy(exportCsv = Some(v)))
+      case "--urls" :: v :: t => go(t, a.copy(urls = v.toLong))
+      case "--budget" :: v :: t => go(t, a.copy(budget = v.toInt))
+      case "--partitions" :: v :: t => go(t, a.copy(partitions = v.toInt))
+      case "--banded" :: t => go(t, a.copy(banded = true))
+      case "--reference_equivalence" :: t => go(t, a.copy(referenceEquivalence = true))
+      case "--max_batches" :: v :: t => go(t, a.copy(maxBatches = v.toInt))
+      case "--verbose" :: t => go(t, a.copy(verbose = true))
+      case f :: _ => fail(s"unknown flag: $f")
+    }
+    go(argv.toList, Args())
+  }
+
+  def config(a: Args): CrawlPipeline.Config = CrawlPipeline.Config(
+    nUrls = a.urls,
+    budget = a.budget,
+    referenceEquivalence = a.referenceEquivalence,
+    numPartitions = a.partitions,
+    bloomBuckets = a.partitions,
+    bandedSchedule = a.banded)
+
+  final case class Summary(
+      batchesProcessed: Int,
+      dblpRecordsAdmitted: Long,
+      exported: Seq[String])
+
+  /** The E1 lifecycle from flags: (optional) dump ingest + filters, the
+    * resumable micro-batch crawl, (optional) exports. Idempotent under
+    * re-invocation — a second run with the same cache_dir replays nothing. */
+  def run(spark: SparkSession, a: Args): Summary = {
+    if (a.verbose) spark.sparkContext.setLogLevel("INFO")
+    val (store, seeds) = CrawlPipeline.seedFromImageTable(
+      spark, s"${a.cacheDir}/store", a.urls, a.partitions)
+    val processed = CrawlPipeline.runBatches(
+      spark, config(a), store, a.cacheDir,
+      maxBatchesThisRun = a.maxBatches, seeds = Some(seeds))
+
+    val dblpAdmitted = a.dblpDump.map { dump =>
+      val recs = XmlIngest.readAllRecords(spark, dump).toDF()
+      val filtered = DblpPipe.downloadAndFilterRelease(
+        recs, a.dblpUseFilters, a.dblpAccessTypes, a.dblpFromTimestamp)
+      a.exportJsonl.foreach(dir => Export.toJsonlGz(filtered, dir))
+      a.exportCsv.foreach(dir => Export.toCsvGz(filtered, dir))
+      filtered.count()
+    }.getOrElse(0L)
+
+    Summary(processed, dblpAdmitted,
+      (a.exportJsonl.toSeq ++ a.exportCsv.toSeq).filter(_ => a.dblpDump.nonEmpty))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-crawl-cli")
+      .config("spark.sql.shuffle.partitions", a.partitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (a.verbose) "INFO" else "WARN")
+    try {
+      val s = run(spark, a)
+      println(s"""{"batches":${s.batchesProcessed},"dblp_admitted":${s.dblpRecordsAdmitted},"exports":${s.exported.size}}""")
+    } finally spark.stop()
+  }
+}

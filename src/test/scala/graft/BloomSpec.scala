@@ -73,20 +73,23 @@ class BloomSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("scalacheck: cuckoo insert/delete churn never loses a live key") {
+  test("scalacheck: cuckoo insert/delete churn never loses a live key (set semantics)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.seen.Cuckoo
-    // ops: (key, isDelete) — a delete only fires if the key is live
+    // ops: (key, isDelete) — a delete only fires if the key is live. The
+    // filter is a SET (inserts idempotent — duplicate keys in a seen-set
+    // build must not overfill shards), so the model is a Set too: a key is
+    // live iff inserted since its last delete, however many times.
     val genOps = Gen.listOfN(300, Gen.zip(Gen.choose(0L, 120L), Gen.prob(0.3)))
     val prop = Prop.forAll(genOps) { ops: List[(Long, Boolean)] =>
       val f = Cuckoo.create(600)
-      val live = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+      val live = scala.collection.mutable.Set[Long]()
       ops.foreach { case (k0, del) =>
         val k = ImageCodec.mix64(k0) // spread the narrow key domain
-        if (del && live(k) > 0) { f.delete(k); live(k) -= 1 }
-        else if (!del) { f.insert(k); live(k) += 1 }
+        if (del && live(k)) { f.delete(k); live -= k }
+        else if (!del) { f.insert(k); live += k }
       }
-      live.forall { case (k, n) => n == 0 || f.mightContain(k) }
+      live.forall(f.mightContain)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
     assert(res.passed, res.status.toString)

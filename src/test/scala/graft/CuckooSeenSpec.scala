@@ -37,6 +37,18 @@ class CuckooSeenSpec extends SparkSpec {
     assert(gated.count() >= unseen * 999 / 1000)
   }
 
+  test("buildShards is duplicate-tolerant: a build stream with 8× repeated urls gates identically") {
+    // the API contract must not require pre-distinct input (ADVICE r2): the
+    // same seen set fed with every url repeated 8× builds shards that gate
+    // EXACTLY like the deduped build — and does not throw on overflow
+    val dup = (1 to 8).map(_ => seen).reduce(_ union _)
+    val shardsDup = CuckooSeen.buildShards(dup, B, expectedPerShard = 4096)
+    val shards = CuckooSeen.buildShards(seen, B, expectedPerShard = 4096)
+    val a = CuckooSeen.gateNotSeen(cand, shardsDup, B).collect().map(_.getString(0)).toSet
+    val b = CuckooSeen.gateNotSeen(cand, shards, B).collect().map(_.getString(0)).toSet
+    assert(a == b, s"duplicate build diverged: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
+
   test("forget() re-admits exactly the forgotten urls (re-crawl)") {
     import spark.implicits._
     val shards = CuckooSeen.buildShards(seen, B)

@@ -12,6 +12,20 @@ class CuckooSpec extends AnyFunSuite {
   private def keys(n: Int, seed: Long): Array[Long] =
     Array.tabulate(n)(i => graft.seen.Bloom.mixStatic(seed + i))
 
+  test("insert is idempotent: duplicate keys cannot overfill a shard, delete fully removes them") {
+    // a tiny filter sized for 100 items absorbs 10,000 inserts of the SAME
+    // 50 keys — under counting semantics the displacement chain would be
+    // unsatisfiable after ~2×bucketSize copies of any one key
+    val f = Cuckoo.create(100)
+    val ks = keys(50, 0x7e57L)
+    (0 until 200).foreach(_ => ks.foreach(k => assert(f.insert(k), "duplicate insert overflowed")))
+    assert(ks.forall(f.mightContain))
+    assert(f.occupiedSlots <= 50, s"duplicates stored copies: ${f.occupiedSlots} slots for 50 keys")
+    // set semantics: one delete removes the key no matter how often inserted
+    assert(f.delete(ks(0)))
+    assert(!f.mightContain(ks(0)))
+  }
+
   test("no false negatives at sized load; all sized inserts succeed") {
     val n = 50000
     val f = Cuckoo.create(n)

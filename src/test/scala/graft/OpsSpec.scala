@@ -150,6 +150,17 @@ class OpsSpec extends SparkSpec {
     assert(scanned == 3)
   }
 
+  test("vec_dot raises on ragged arrays instead of silently truncating") {
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      d.select(graft.functions.graftfns.vecDot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(e).exists(_.contains("length mismatch")), s"unexpected error: $e")
+  }
+
   test("language-ID picks the language whose markers dominate") {
     import spark.implicits._
     val d = Seq(

@@ -75,11 +75,19 @@ class PlanSpec extends SparkSpec {
       s"custom expressions fell out of the codegen stage:\n$plan")
   }
 
-  test("politeness schedule = one shuffle for the window (plus scan-side exchange only)") {
+  test("politeness schedule (banded): frontier shuffles once; offsets join broadcasts") {
     val df = SparkEntry.queries("c5_politeness_rank")(spark, dir)
     val p = executedPlan(df)
-    val shuffles = countShuffles(p)
-    assert(shuffles <= 1, s"rank stage should shuffle once, got $shuffles:\n$p")
+    val s = p.toString
+    // Banded plan shape: ONE exchange carries the frontier — keyed by
+    // (host, priority), so the Zipf-hot host spreads over #bands tasks —
+    // and the per-(host,band) offsets (hosts×bands rows, tiny) come back
+    // via a BROADCAST join. The offsets derivation rides a reused copy of
+    // the same banded exchange plus its own tiny hosts×bands shuffle;
+    // nothing frontier-sized shuffles twice.
+    assert(countShuffles(p) <= 3, s"too many exchanges:\n$p")
+    assert(s.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"offsets join must not sort-merge:\n$s")
   }
 
   test("seen anti-join under AQE avoids sort-merge on the small side") {

@@ -93,6 +93,25 @@ class XmlIngestSpec extends SparkSpec {
     assert(recs("b1").rtype == "book" && recs("b1").title == "After last frame")
   }
 
+  test("mixed-content markup (<i>, <sub>, <ref>) is transparent: nested text stays in the field") {
+    // real DBLP titles carry inline markup; xmltodict's view joins the
+    // cdata around it — dropping nested text would silently truncate
+    val mixed =
+      """<?xml version="1.0"?>
+        |<bib><article mdate="2020-01-01" key="mx1">
+        |<title>On <i>Deep</i> Learning<sub>2</sub> Methods</title>
+        |<author>A <i>B</i> C</author><year>2020</year>
+        |</article></bib>""".stripMargin
+    val dir = Files.createTempDirectory("xmlmixed")
+    val f = dir.resolve("mixed.xml")
+    Files.write(f, mixed.getBytes(StandardCharsets.UTF_8))
+    val recs = XmlIngest.readAllRecords(spark, f.toString,
+      frameTag = "article", rootTag = "bib").collect()
+    assert(recs.length == 1)
+    assert(recs(0).title == "On Deep Learning2 Methods", s"got: ${recs(0).title}")
+    assert(recs(0).authors == Seq("A B C"))
+  }
+
   test("access filter: ee-missing defaults to CLOSED; ee-without-type is dropped for every set") {
     val df = XmlIngest.readRecords(spark, writeDump(gz = false), "article").toDF()
     assert(DblpPipe.accessFilter(df, Seq("oa")).select("key")
