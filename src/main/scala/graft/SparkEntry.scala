@@ -119,6 +119,19 @@ object SparkEntry {
         cand, Fixture.seenSet(s, dir), numBuckets = 16)
     }),
 
+    // robots.txt gate (north_rule "robots gating"): longest-prefix-wins
+    // precedence with allow-first ties, one rules-array row per host
+    // broadcast against the frontier. The rules dimension is shaped so
+    // every precedence branch fires (Fixture.robotsDim).
+    "c25_robots_gate" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir).select(
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+        UrlCanon.hostOf(col("url")).as("host"),
+        col("priority"), col("seed_rank"))
+      graft.sched.Scheduler.robotsFilter(f, Fixture.robotsDim(s))
+        .select("canonical_url", "host", "priority", "seed_rank")
+    }),
+
     // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
     // re-read → project. The oracle sees the ORIGINAL table, so a green row
     // proves the round trip is byte-faithful (text goes through an md5 so
@@ -200,6 +213,37 @@ object SparkEntry {
       s"""WITH ${OracleSql.canonFrontierCte}
          |SELECT DISTINCT canonical_url FROM cfrontier c
          |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)""".stripMargin,
+
+    // generic longest-prefix robots twin: best matching rule per url by
+    // (len, prefix, allowed) descending — the same lexicographic order
+    // Scheduler.robotsFilter's array_max(struct) uses — kept iff no rule
+    // matches or the winning rule allows
+    "c25_robots_gate" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |robots AS (
+         |  SELECT concat('h', CAST(id AS STRING), '.example.com') AS host,
+         |         '/img/' AS path_prefix, FALSE AS allowed
+         |  FROM range(0, 50) t(id) WHERE id % 10 = 3 OR id % 10 = 7
+         |  UNION ALL
+         |  SELECT concat('h', CAST(id AS STRING), '.example.com'), '/img/1', TRUE
+         |  FROM range(0, 50) t(id) WHERE id % 10 = 3
+         |  UNION ALL
+         |  SELECT concat('h', CAST(id AS STRING), '.example.com'), '/img/2', TRUE
+         |  FROM range(0, 50) t(id) WHERE id % 10 = 7
+         |  UNION ALL
+         |  SELECT concat('h', CAST(id AS STRING), '.example.com'), '/img/2', FALSE
+         |  FROM range(0, 50) t(id) WHERE id % 10 = 7),
+         |matched AS (
+         |  SELECT c.canonical_url, r.allowed,
+         |    row_number() OVER (PARTITION BY c.canonical_url
+         |      ORDER BY length(r.path_prefix) DESC, r.path_prefix DESC, r.allowed DESC) AS rn
+         |  FROM cfrontier c JOIN robots r ON c.host = r.host
+         |    AND starts_with(regexp_replace(c.canonical_url, '^[a-z][a-z0-9+.-]*://[^/]*', ''), r.path_prefix))
+         |SELECT c.canonical_url, c.host, c.priority, c.seed_rank
+         |FROM cfrontier c
+         |LEFT JOIN (SELECT canonical_url, allowed FROM matched WHERE rn = 1) v
+         |  ON c.canonical_url = v.canonical_url
+         |WHERE v.allowed IS NULL OR v.allowed""".stripMargin,
 
     // the oracle reads the ORIGINAL documents table — equality proves the
     // export → re-read round trip lost nothing

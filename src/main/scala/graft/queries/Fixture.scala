@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic derivation of crawl-shaped tables from the driver's
@@ -53,6 +53,26 @@ object Fixture {
       url.as("url"),
       (col("l_orderkey") * 8 + col("l_linenumber")).as("seed_rank"),
       (col("l_partkey") % 100).as("priority"))
+  }
+
+  /** Deterministic robots dimension over the frontier's 50 hosts,
+    * shaped to exercise every precedence branch of
+    * [[graft.sched.Scheduler.robotsFilter]] (longest prefix wins;
+    * exact-(len,prefix) ties resolve allow-first):
+    *   - h3,h13,…  disallow `/img/` but allow `/img/1` (longer wins);
+    *   - h7,h17,…  disallow `/img/` AND carry an equal-length allow +
+    *     disallow pair on `/img/2` (tie → allow);
+    *   - all other hosts: no rules (must pass untouched).
+    * Twin SQL: the `robots` CTE in the c25 oracle. */
+  def robotsDim(spark: SparkSession): DataFrame = {
+    val h = spark.range(0, 50)
+    val host = concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+    def rule(cond: Column, prefix: String, allowed: Boolean) =
+      h.filter(cond).select(host.as("host"), lit(prefix).as("path_prefix"), lit(allowed).as("allowed"))
+    rule(col("id") % 10 === 3 || col("id") % 10 === 7, "/img/", allowed = false)
+      .union(rule(col("id") % 10 === 3, "/img/1", allowed = true))
+      .union(rule(col("id") % 10 === 7, "/img/2", allowed = true))
+      .union(rule(col("id") % 10 === 7, "/img/2", allowed = false))
   }
 
   /** Deterministic "already seen" membership set: canonical urls of the

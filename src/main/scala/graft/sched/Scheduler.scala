@@ -74,24 +74,24 @@ object Scheduler {
       defaultBudget: Int): DataFrame = {
     val wBand = Window.partitionBy(col("host"), col("priority"))
       .orderBy(col("seed_rank"), col("canonical_url"))
-    val wBandAll = Window.partitionBy(col("host"), col("priority"))
-    // __r and __n ride the SAME exchange; the offsets branch below filters
-    // __r==1 from this same subplan, so ReuseExchange materializes the
-    // upstream (canon/dedup/gate) exactly once.
-    val inBand = frontier
-      .withColumn("__r", row_number().over(wBand))
-      .withColumn("__n", count(lit(1)).over(wBandAll))
+    val inBand = frontier.withColumn("__r", row_number().over(wBand))
+    // Band offsets need only COUNTS per (host, band) — a map-side-partial
+    // HashAggregate straight off the frontier, not a second consumption of
+    // the windowed stream (count(*) over the band window would sort-rescan
+    // every row just to keep one row per band). The offsets table is
+    // hosts×bands rows; its prefix-sum window is trivially small.
     val wOff = Window.partitionBy(col("__ohost")).orderBy(col("__oprio"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = inBand.filter(col("__r") === 1)
-      .select(col("host").as("__ohost"), col("priority").as("__oprio"), col("__n"))
+    val offsets = frontier
+      .groupBy(col("host").as("__ohost"), col("priority").as("__oprio"))
+      .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__ohost"), col("__oprio"), col("__off"))
     val ranked = inBand
       .join(broadcast(offsets),
         col("host") === col("__ohost") && col("priority") === col("__oprio"))
       .withColumn("rk", (col("__off") + col("__r")).cast("int"))
-      .drop("__r", "__n", "__off", "__ohost", "__oprio")
+      .drop("__r", "__off", "__ohost", "__oprio")
     val withBudget = budgets match {
       case Some(b) =>
         ranked.join(broadcast(b.select(col("host").as("__bhost"), col("budget"))),

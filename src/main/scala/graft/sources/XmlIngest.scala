@@ -11,8 +11,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     TextInputFormat splits the (uncompressed) dump at block boundaries,
   *     so one multi-hundred-GB XML file parallelizes across the cluster;
   *     a `.gz` dump still works but decompresses single-threaded per file
-  *     (gzip is not splittable — same cost the reference pays; recompress
-  *     to bgzip/zstd-seekable for the 100 TB path);
+  *     (gzip is not splittable — same cost the reference pays; pay it ONCE
+  *     via [[splitDumpGz]] and every later ingest parallelizes);
   *  2. record parsing: JDK StAX (`javax.xml.stream`) inside
   *     `mapPartitions` — streaming, allocation-light, one factory per
   *     partition, no DOM. No RDD: typed Dataset all the way.
@@ -69,6 +69,25 @@ object XmlIngest {
   /** End-to-end: dump file → typed records (single record type). */
   def readRecords(spark: SparkSession, path: String, recordTag: String = "article"): Dataset[DblpRecord] =
     parseRecords(readRecordChunks(spark, path, recordTag), recordTag)
+
+  /** Recompress a monolithic dump (possibly `.gz`) into `numFiles` gzip
+    * part files of whole records — the splittable-ingest path for the
+    * monthly drop. Plain gzip is not splittable: one reader decompresses
+    * the whole multi-GB file serially (the same cost the reference pays,
+    * dblpclient.py:481-488). This ONE-TIME re-frame pays that serial read
+    * once, after which every ingest parallelizes file-per-task:
+    * `readAllRecords(outDir)` sees `numFiles` independent gzip members,
+    * each holding complete records (framing is preserved — each written
+    * value is a whole `</frameTag>`-terminated chunk, and the reader
+    * re-frames on the same tag, so part boundaries can never split a
+    * record). Size numFiles ≈ cluster cores for the monthly ingest. */
+  def splitDumpGz(spark: SparkSession, path: String, outDir: String,
+      frameTag: String = "article", numFiles: Int = 32): Unit =
+    readRecordChunks(spark, path, frameTag)
+      .repartition(numFiles)
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .text(outDir)
 
   /** DBLP's record vocabulary (dblp.dtd): every child element of `<dblp>`. */
   val DblpRecordTags: Set[String] = Set(

@@ -93,6 +93,20 @@ class XmlIngestSpec extends SparkSpec {
     assert(recs("b1").rtype == "book" && recs("b1").title == "After last frame")
   }
 
+  test("splitDumpGz re-frames a monolithic gz dump into parallel-readable gzip parts, losslessly") {
+    val mono = writeDump(gz = true) // single .gz: 1 reader, not splittable
+    val out = Files.createTempDirectory("xmlsplit").toString + "/parts"
+    XmlIngest.splitDumpGz(spark, mono, out, frameTag = "article", numFiles = 3)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.endsWith(".txt.gz"))
+    assert(parts.length == 3, s"expected 3 gzip parts, got ${parts.map(_.getName).mkString(",")}")
+    // lossless: the split dir parses to exactly the records of the original
+    val orig = XmlIngest.readRecords(spark, mono, "article").collect().map(_.key).sorted
+    val split = XmlIngest.readRecords(spark, out, "article").collect().map(_.key).sorted
+    assert(split.sameElements(orig), s"split lost records: ${orig.mkString(",")} vs ${split.mkString(",")}")
+    // and the read is parallel: one input partition per part file
+    assert(XmlIngest.readRecordChunks(spark, out, "article").rdd.getNumPartitions >= 3)
+  }
+
   test("mixed-content markup (<i>, <sub>, <ref>) is transparent: nested text stays in the field") {
     // real DBLP titles carry inline markup; xmltodict's view joins the
     // cdata around it — dropping nested text would silently truncate
