@@ -141,6 +141,46 @@ object BloomSeen {
     negatives.unionByName(ExactSeen.notSeen(positives, seenP))
   }
 
+  /** Incremental shard maintenance — fold a crawl batch's urls into an
+    * EXISTING shard set without rebuilding it. At the 10^10-url regime the
+    * seen set cannot be rebuilt per micro-batch (O(corpus) work for an
+    * O(batch) delta); this cogroup touches only the buckets that own new
+    * urls and streams every other shard through byte-untouched, so the
+    * per-batch cost is O(batch + touched-shard bytes). Inserting keys into
+    * the deserialized filter is bit-identical to OR-merging a delta filter
+    * of the same keys (put() sets the same double-hash bit pattern), so
+    * membership after k incremental rounds equals the one-shot build over
+    * the union — asserted in BloomSpec. Buckets with no existing shard
+    * (first urls to land there) get a fresh filter sized by
+    * `expectedPerShard`/`fpp`. */
+  def insertShards(
+      shards: Dataset[BloomShard],
+      urls: DataFrame, // col: canonical_url
+      numBuckets: Int,
+      fpp: Double = 1e-4,
+      salt: Long = DefaultSalt,
+      expectedPerShard: Long = 1024L): Dataset[BloomShard] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keyed = urls
+      .select(
+        bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
+        UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
+      .as[(Int, Long)]
+    shards.groupByKey(_.bucket)
+      .cogroup(keyed.groupByKey(_._1)) { (bucket, shardIt, keyIt) =>
+        if (!keyIt.hasNext) shardIt // untouched shard passes through
+        else {
+          val existing = if (shardIt.hasNext) Some(shardIt.next()) else None
+          val f = existing.map(s => Bloom.deserialize(s.blob))
+            .getOrElse(Bloom.create(expectedPerShard, fpp))
+          var n = existing.map(_.n_items).getOrElse(0L)
+          keyIt.foreach { kv => f.put(kv._2); n += 1 }
+          Iterator.single(BloomShard(bucket, f.serialize(), n))
+        }
+      }
+  }
+
   /** Join-based gate for shard sets too big to broadcast: one shuffle
     * co-partitions candidates with their shard; the per-task blob
     * deserialization is cached (BloomMightContainExpr). */

@@ -111,6 +111,46 @@ object CuckooSeen {
     negatives.unionByName(ExactSeen.notSeen(positives, seenP))
   }
 
+  /** Incremental INSERT twin of [[forget]]: fold a crawl batch's urls into
+    * an existing shard set without the O(corpus) rebuild — the per-batch
+    * maintenance path of the 10^10-url crawl loop (see
+    * [[BloomSeen.insertShards]] for the cost argument). Only buckets that
+    * own new urls deserialize/rewrite; untouched shards pass through
+    * byte-identical. Inserts are fingerprint-idempotent, so replaying a
+    * batch (resume) cannot overfill a shard. Overflow of genuinely new
+    * keys THROWS (a silently dropped key is an exactness violation) —
+    * size the original build with headroom, or reshard. Buckets with no
+    * existing shard get a fresh table sized by `expectedPerShard`. */
+  def insert(
+      shards: Dataset[CuckooShard],
+      urls: DataFrame, // col: canonical_url
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt,
+      expectedPerShard: Long = 1024L): Dataset[CuckooShard] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val keyed = urls
+      .select(
+        BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
+        UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
+      .as[(Int, Long)]
+    shards.groupByKey(_.bucket)
+      .cogroup(keyed.groupByKey(_._1)) { (bucket, shardIt, keyIt) =>
+        if (!keyIt.hasNext) shardIt
+        else {
+          val existing = if (shardIt.hasNext) Some(shardIt.next()) else None
+          val f = existing.map(s => Cuckoo.deserialize(s.blob))
+            .getOrElse(Cuckoo.create(expectedPerShard))
+          keyIt.foreach { kv =>
+            if (!f.insert(kv._2))
+              throw new IllegalStateException(
+                s"cuckoo shard $bucket overflow on incremental insert — reshard")
+          }
+          Iterator.single(CuckooShard(bucket, f.serialize(), f.occupiedSlots))
+        }
+      }
+  }
+
   /** DELETE urls from their shards (the re-crawl primitive Bloom lacks):
     * distributed cogroup on the salted bucket — each task rewrites only the
     * shards that own forgotten urls; untouched shards pass through

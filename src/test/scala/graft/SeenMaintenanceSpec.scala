@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Fixture
+import graft.seen.{BloomSeen, ExactSeen}
+
+/** Incremental Bloom shard maintenance: folding micro-batches into an
+  * existing shard set must gate exactly like a one-shot build over the
+  * union (insert == OR-merge of a delta, same double-hash bit pattern),
+  * touch only the buckets owning new urls, and create shards for buckets
+  * seen for the first time. */
+class SeenMaintenanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val B = 8
+
+  private def cand = Fixture.frontier(spark, dir)
+    .select(graft.canon.UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+    .distinct()
+  private def seen = Fixture.seenSet(spark, dir)
+
+  test("insertShards over micro-batches gates bit-identically to the one-shot build") {
+    val ordered = seen.orderBy("canonical_url")
+    val n = ordered.count().toInt
+    val half = ordered.limit(n / 2)
+    val rest = ordered.exceptAll(half)
+    val b1 = rest.orderBy("canonical_url").limit((n - n / 2) / 2)
+    val b2 = rest.exceptAll(b1)
+    // geometry must match across build+inserts for bit-identity of blobs
+    val exp = 8192L
+    val incr = BloomSeen.insertShards(
+      BloomSeen.insertShards(
+        BloomSeen.buildShards(half, B, expectedPerShard = exp), b1, B, expectedPerShard = exp),
+      b2, B, expectedPerShard = exp)
+    val full = BloomSeen.buildShards(seen, B, expectedPerShard = exp)
+    // blob-level equality: insert == OR-merge ⇒ same bits, not merely the
+    // same gate behavior
+    val ib = incr.collect().map(s => s.bucket -> s.blob.toSeq).toMap
+    val fb = full.collect().map(s => s.bucket -> s.blob.toSeq).toMap
+    assert(ib == fb, s"blobs diverged on buckets ${ib.keySet union fb.keySet filter (k => ib.get(k) != fb.get(k))}")
+    // and the gate has no false negatives
+    val gated = BloomSeen.gateNotSeen(cand, incr, B)
+    assert(ExactSeen.alreadySeen(gated, seen).count() == 0)
+  }
+
+  test("untouched shards pass through byte-identical; empty buckets gain shards") {
+    val tiny = seen.orderBy("canonical_url").limit(3)
+    val base = BloomSeen.buildShards(tiny, B, expectedPerShard = 8192)
+    assert(base.count() < B)
+    // insert a batch that hits a strict subset of buckets
+    val batch = seen.orderBy(desc("canonical_url")).limit(100)
+    val touched = batch
+      .select(BloomSeen.bucketCol(col("canonical_url"), B, BloomSeen.DefaultSalt).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val updated = BloomSeen.insertShards(base, batch, B, expectedPerShard = 8192)
+    val before = base.collect().map(s => s.bucket -> s.blob.toSeq).toMap
+    val after = updated.collect().map(s => s.bucket -> s.blob.toSeq).toMap
+    before.foreach { case (bk, blob) =>
+      if (!touched(bk)) assert(after(bk) == blob, s"untouched shard $bk rewritten")
+    }
+    assert(after.keySet == before.keySet ++ touched, "new buckets not created")
+  }
+}
