@@ -45,7 +45,9 @@ object GraftExtensions {
     ("simhash_from_hashes", "simhash_from_hashes(hashes, bits) - packed simhash of a token-hash array",
       args => SimhashFromHashesExpr(args.head, litInt(args(1)))),
     ("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays",
-      args => DotExpr(args.head, args(1))))
+      args => DotExpr(args.head, args(1))),
+    ("robots_verdict", "robots_verdict(url, rules) - longest-prefix robots verdict (NULL = no rule matches)",
+      args => RobotsVerdictExpr(args.head, args(1))))
 
   /** Foldable-int argument for SQL-facing parameterized kernels. */
   private def litInt(e: Expression): Int = e.eval(null) match {

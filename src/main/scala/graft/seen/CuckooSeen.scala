@@ -1,6 +1,6 @@
 package graft.seen
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.canon.UrlCanon
@@ -109,6 +109,49 @@ object CuckooSeen {
     val negatives = cand.filter(!probe)
     val positives = cand.filter(probe)
     negatives.unionByName(ExactSeen.notSeen(positives, seenP))
+  }
+
+  /** Exact frontier-minus-seen against PRE-BUILT shards (the maintained-
+    * filter path): unlike [[notSeenExactWithCuckooFastPath]] there is no
+    * per-call shard build — the filter is corpus state kept current by
+    * [[insert]] (see [[ShardStore]]). Negatives are definitely unseen and
+    * pass without join work; positives (true hits + fingerprint fps) are
+    * exact-confirmed against `seen`, so the anti-join's probe side shrinks
+    * from |candidates| to |candidates ∩ seen| + fp. */
+  def notSeenExactWithPrebuilt(
+      candidates: DataFrame,
+      shards: Dataset[CuckooShard],
+      seen: DataFrame, // col: canonical_url (exact-confirm side)
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+    import graft.functions.{CuckooProbeExpr, CuckooShardMap}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = candidates.sparkSession
+    val shardMap = new CuckooShardMap(shards.collect().map(s => s.bucket -> s.blob).toMap)
+    val bc = spark.sparkContext.broadcast(shardMap)
+    val probe = Bridge.column(CuckooProbeExpr(
+      Bridge.expression(BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt)),
+      Bridge.expression(UrlCanon.saltedKey(col("canonical_url"), salt)),
+      bc))
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negatives = cand.filter(!probe)
+    val positives = cand.filter(probe)
+    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+  }
+
+  /** Persist shards as a parquet table partitioned-in-files by bucket.
+    * The shard set IS the crawl's cross-session seen state — write after
+    * each maintenance round ([[insert]]/[[forget]]), read at campaign
+    * start. Blobs are opaque binary: parquet round-trips them exactly
+    * (asserted gate-identical in SeenMaintenanceSpec). Repartitioning on
+    * bucket keeps one shard per row-group so a selective read of hot
+    * buckets stays cheap at 10^10-regime shard counts. */
+  def writeShards(shards: Dataset[CuckooShard], path: String): Unit =
+    shards.repartition(col("bucket")).write.mode("overwrite").parquet(path)
+
+  def readShards(spark: SparkSession, path: String): Dataset[CuckooShard] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[CuckooShard]
   }
 
   /** Incremental INSERT twin of [[forget]]: fold a crawl batch's urls into

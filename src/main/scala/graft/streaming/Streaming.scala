@@ -88,7 +88,14 @@ object Streaming {
       tableRoot: String,
       checkpoint: String,
       budget: Int = 2,
-      numPartitions: Int = 8): Unit = {
+      numPartitions: Int = 8,
+      // maintained cuckoo filter: the per-batch gate probes O(batch) keys
+      // against broadcast shards instead of anti-joining the whole
+      // accumulated seen table (O(corpus) scan per micro-batch at the
+      // 10^10 regime). Exactness is preserved twice over: positives are
+      // still exact-confirmed, and the store self-heals from the seen
+      // table's first_batch_id lineage after any crash (ShardStore).
+      maintainedShards: Option[graft.seen.ShardStore] = None): Unit = {
     import graft.canon.UrlCanon
     val fetchedT = new SnapshotTable(s"$tableRoot/fetched")
     val seenT = new SnapshotTable(s"$tableRoot/seen")
@@ -112,7 +119,16 @@ object Streaming {
           val robots = Scheduler.robotsFilter(canon, graft.model.Synth.robotsRules(spark).toDF())
           val deduped = Scheduler.dedupFrontier(robots)
           val unseen = seenT.read(spark) match {
-            case Some(seen) => graft.seen.ExactSeen.notSeen(deduped, seen.select("canonical_url"))
+            case Some(seen) => maintainedShards match {
+              case Some(store) =>
+                val upTo = seenT.committedBatchIds.max
+                val shards = store.heal(spark, seen, upTo)
+                graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
+                  deduped, shards, seen.select("canonical_url"),
+                  store.numBuckets, store.salt)
+              case None =>
+                graft.seen.ExactSeen.notSeen(deduped, seen.select("canonical_url"))
+            }
             case None => deduped
           }
           val ranked = Scheduler.schedule(unseen, None, budget)
@@ -122,6 +138,10 @@ object Streaming {
           }
           seenT.commit(ranked.select(col("canonical_url"), lit(batchId).as("first_batch_id")),
             batchId = batchId)
+          // advance the maintained filter through this batch; a crash
+          // before this line is healed by the next batch's heal() call
+          maintainedShards.foreach(store =>
+            store.heal(spark, seenT.read(spark).get, batchId))
           ()
         }
       }

@@ -61,4 +61,19 @@ class SeenMaintenanceSpec extends SparkSpec {
     }
     assert(after.keySet == before.keySet ++ touched, "new buckets not created")
   }
+
+  test("cuckoo shards round-trip through parquet and keep gating identically (cross-session seen state)") {
+    import graft.seen.CuckooSeen
+    val shards = CuckooSeen.buildShards(seen, B, expectedPerShard = 8192)
+    val path = java.nio.file.Files.createTempDirectory("shardstore").toString + "/shards"
+    CuckooSeen.writeShards(shards, path)
+    val restored = CuckooSeen.readShards(spark, path)
+    val a = CuckooSeen.gateNotSeen(cand, shards, B).collect().map(_.getString(0)).toSet
+    val b = CuckooSeen.gateNotSeen(cand, restored, B).collect().map(_.getString(0)).toSet
+    assert(a == b)
+    // and the restored set keeps accepting incremental maintenance
+    val more = cand.exceptAll(seen).orderBy("canonical_url").limit(100)
+    val updated = CuckooSeen.insert(restored, more, B, expectedPerShard = 8192)
+    assert(CuckooSeen.gateNotSeen(more, updated, B).count() == 0)
+  }
 }

@@ -138,4 +138,55 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("canonical_url").distinct().count() == after.count(),
       "seen gate failed: a url was crawled twice across micro-batches")
   }
+
+  test("maintained cuckoo shard store gates the stream identically and self-heals after a lost shard write") {
+    import graft.seen.{CuckooSeen, ShardStore}
+    val n = 300L
+    val seedsDir = Files.createTempDirectory("seeds-m").toString
+    val rootA = Files.createTempDirectory("streamcrawl-exact").toString
+    val rootB = Files.createTempDirectory("streamcrawl-shard").toString
+    val ckptA = Files.createTempDirectory("ckpt-a").toString
+    val ckptB = Files.createTempDirectory("ckpt-b").toString
+    Synth.seedList(spark, n, 3).toDF().write.parquet(s"$seedsDir/seeds")
+    val schema = spark.read.parquet(s"$seedsDir/seeds").schema
+    val store = Synth.imageDocs(spark, n, 4).toDF()
+    val shardRoot = Files.createTempDirectory("shardstore").toString
+    val shards = new ShardStore(shardRoot, numBuckets = 4, expectedPerShard = 4096)
+
+    // run the exact-gated and shard-gated streams over the same input
+    Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootA, ckptA,
+      budget = 2, numPartitions = 4)
+    Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootB, ckptB,
+      budget = 2, numPartitions = 4, maintainedShards = Some(shards))
+
+    // late-arriving seed file with overlap → second micro-batch exercises the gate
+    Synth.seedList(spark, n * 2, 3).toDF().filter(col("seed_rank") >= n / 2)
+      .write.mode("append").parquet(s"$seedsDir/seeds")
+    Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootA, ckptA,
+      budget = 2, numPartitions = 4)
+
+    // CRASH SIMULATION for the maintained run: the shard version written
+    // after the FIRST batch is lost (crash between seen commit and shard
+    // write) — heal() must rebuild the delta from first_batch_id lineage,
+    // or seen urls would slip past the gate and be crawled twice
+    val lost = new java.io.File(shardRoot).listFiles().filter(_.getName.startsWith("shards_b"))
+    assert(lost.nonEmpty, "first run wrote no shard version")
+    lost.foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootB, ckptB,
+      budget = 2, numPartitions = 4, maintainedShards = Some(shards))
+
+    val a = new SnapshotTable(s"$rootA/fetched").read(spark).get
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    val b = new SnapshotTable(s"$rootB/fetched").read(spark).get
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    assert(a == b, s"maintained gate diverged: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    assert(b.size == new SnapshotTable(s"$rootB/fetched").read(spark).get.count(),
+      "a url was crawled twice despite the maintained gate")
+
+    // the healed store is complete: every seen url probes positive
+    val seenB = new SnapshotTable(s"$rootB/seen").read(spark).get
+    val cur = CuckooSeen.readShards(spark,
+      s"$shardRoot/shards_b" + "%020d".format(shards.latestBatch.get))
+    assert(CuckooSeen.gateNotSeen(seenB.select("canonical_url"), cur, 4).count() == 0)
+  }
 }
