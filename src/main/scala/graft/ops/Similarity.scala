@@ -188,4 +188,56 @@ object Ivf {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Materialize the IVF index: the corpus written cluster-partitioned
+    * (`partitionBy("cluster")`), which is the 100 TB shape the scaladoc
+    * above promises — each inverted list is its own partition directory,
+    * so probing becomes partition-pruned I/O instead of a corpus scan.
+    * Centroids persist alongside as JSON (nlist×dims doubles, KBs). */
+  def writeIndex(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    assign(corpus.select(col(idCol), col(vecCol)), centroids, vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val json = centroids.map { case (cid, cv) =>
+      s"""{"cid":$cid,"c":[${cv.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/_centroids.json"), json)
+  }
+
+  def readIndexCentroids(path: String): Seq[(Int, Seq[Double])] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/_centroids.json"))
+    // flat structure written by writeIndex — parse without a JSON dep
+    "\\{\"cid\":(\\d+),\"c\":\\[([^\\]]*)\\]\\}".r.findAllMatchIn(txt).map { m =>
+      (m.group(1).toInt, m.group(2).split(',').toSeq.map(_.toDouble): Seq[Double])
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Top-k over the MATERIALIZED index. The union of probed lists
+    * (≤ queries×nprobe ids — bounded by the query batch, independent of
+    * corpus size) folds into the scan as a literal `isin`, so the parquet
+    * read carries `PartitionFilters` and touches only the probed
+    * directories (plan-asserted in ScaleAnnSpec). Row-identical to
+    * [[topK]] with the same centroids/nprobe. */
+  def topKIndexed(indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val probeArr = slice(array_sort(array(centroids.map { case (cid, cv) =>
+      struct(dist2(col("qv"), cv).as("d"), lit(cid).as("cid"))
+    }: _*)), 1, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cluster", explode(transform(probeArr, _.getField("cid"))))
+    val probed = q.select("cluster").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

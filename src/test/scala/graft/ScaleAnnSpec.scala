@@ -90,4 +90,24 @@ class ScaleAnnSpec extends SparkSpec {
     val b = Ivf.topK(corpus, queries, 10, 16, 4, centroids = Some(c2)).collect().toSet
     assert(a == b)
   }
+
+  test("materialized IVF index: probes are PartitionFilters-pruned scans, results identical to topK") {
+    val nlist = 16
+    val nprobe = 4
+    val cents = Ivf.train(corpus, nlist)
+    val path = java.nio.file.Files.createTempDirectory("ivfindex").toString + "/index"
+    Ivf.writeIndex(corpus, cents, path)
+    // centroids round-trip with the index
+    assert(Ivf.readIndexCentroids(path) == cents)
+    val indexed = Ivf.topKIndexed(path, queries, 10, nprobe, cents)
+    val direct = Ivf.topK(corpus, queries, 10, nlist, nprobe, centroids = Some(cents))
+    assert(indexed.collect().toSet == direct.collect().toSet,
+      "indexed probe diverged from the in-memory plan")
+    // the scan itself must be partition-pruned: the probed-list isin
+    // lands in PartitionFilters (directory pruning — only nprobe-ish of
+    // the nlist partition dirs are read), NOT as a post-scan Filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+  }
 }
