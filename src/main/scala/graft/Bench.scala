@@ -180,6 +180,45 @@ object Bench {
       (1 to 4).map(_ => frontierRun(spark, benchUrls, cpus, fxMain)).maxBy(_._1)
     val mSnap = listener.snapshot
     listener.unregister()
+
+    // -- maintained-filter evidence: per-batch maintenance cost -----------
+    // The scale claim behind CuckooSeen.insert/ShardStore: folding a crawl
+    // batch into an EXISTING filter is O(batch + touched-shard bytes);
+    // rebuilding the filter from scratch each batch — the naive
+    // alternative — is O(corpus). rebuild_sec re-aggregates every key of
+    // seen ∪ batch; insert_sec cogroups only the batch's keys with their
+    // shards. The ratio grows linearly with corpus/batch (here ~5:1; at
+    // the 10^10-url regime with 10^6-url batches it is ~10^4:1).
+    val maintenance = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.canon.UrlCanon
+      val seenM = spark.read.parquet(fxMain.seenDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSeen = seenM.count()
+      val half = benchUrls / 40
+      // 50% genuinely-new batch (typical crawl mix; the seen half
+      // exercises insert idempotence, not extra capacity)
+      val batch = spark.range(benchUrls, benchUrls + half).map((i: java.lang.Long) => Synth.seedUrlOf(i)).toDF("url")
+        .union(spark.range(0, half).map((i: java.lang.Long) => Synth.seedUrlOf(i)).toDF("url"))
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBatch = batch.count()
+      val exp = math.max(nSeen / cpus * 3, 4096L)
+      val shards = graft.seen.CuckooSeen.buildShards(seenM, cpus, expectedPerShard = exp)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shards.count() // the existing campaign filter — built once, untimed
+      val tRebuild = time {
+        graft.seen.CuckooSeen.buildShards(seenM.unionByName(batch),
+          cpus, expectedPerShard = exp).map(_.n_items).reduce(_ + _)
+      }
+      val tInsert = time {
+        graft.seen.CuckooSeen.insert(shards, batch, cpus, expectedPerShard = exp)
+          .map(_.n_items).reduce(_ + _)
+      }
+      s"""{"seen":$nSeen,"batch":$nBatch,"rebuild_sec":$tRebuild,""" +
+      s""""insert_sec":$tInsert,"shards":$cpus}"""
+    }
     spark.stop()
 
     // -- scaling: same job + same data layout at N and 4N cores ----------
@@ -241,7 +280,7 @@ object Bench {
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling,"maintenance":$maintenance}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

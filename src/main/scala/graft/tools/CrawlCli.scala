@@ -26,6 +26,8 @@ import graft.sources.{Export, XmlIngest}
   *    DOWNLOAD is out of engine scope; the merge of enabled datasets is
   *    [[graft.refpipe.RefPipe.processData]], driven where the data lives)
   *  - `--export_jsonl DIR` / `--export_csv DIR` → K2/K3 sinks
+  *  - `--split_dump DIR [--split_parts N]` → [[XmlIngest.splitDumpGz]]
+  *    (monthly-drop re-frame: serial gz read paid once, ingest parallel)
   *  - crawl-engine knobs (no reference analog — the frontier scheduler is
   *    the north rule's addition): `--urls --budget --partitions --banded
   *    --reference_equivalence --max_batches --verbose`
@@ -42,6 +44,8 @@ object CrawlCli {
       dblpFromTimestamp: String = "1980-01-01",
       s2Sources: Seq[String] = Nil,
       s2Use: Set[String] = Set.empty,
+      splitDump: Option[String] = None,
+      splitParts: Int = 32,
       exportJsonl: Option[String] = None,
       exportCsv: Option[String] = None,
       urls: Long = 10000L,
@@ -74,6 +78,8 @@ object CrawlCli {
         })))
       case f :: t if f.startsWith("--s2_use_") =>
         go(t, a.copy(s2Use = a.s2Use + f.stripPrefix("--s2_use_")))
+      case "--split_dump" :: v :: t => go(t, a.copy(splitDump = Some(v)))
+      case "--split_parts" :: v :: t => go(t, a.copy(splitParts = v.toInt))
       case "--export_jsonl" :: v :: t => go(t, a.copy(exportJsonl = Some(v)))
       case "--export_csv" :: v :: t => go(t, a.copy(exportCsv = Some(v)))
       case "--urls" :: v :: t => go(t, a.copy(urls = v.toLong))
@@ -113,7 +119,15 @@ object CrawlCli {
       maxBatchesThisRun = a.maxBatches, seeds = Some(seeds))
 
     val dblpAdmitted = a.dblpDump.map { dump =>
-      val recs = XmlIngest.readAllRecords(spark, dump).toDF()
+      // --split_dump: pay the monolithic (gz) dump's serial read ONCE,
+      // re-framing into split_parts whole-record gzip parts, then ingest
+      // from the split dir so THIS and every later run parallelizes
+      // file-per-task (XmlIngest.splitDumpGz scaladoc).
+      val src = a.splitDump match {
+        case Some(out) => XmlIngest.splitDumpGz(spark, dump, out, numFiles = a.splitParts); out
+        case None => dump
+      }
+      val recs = XmlIngest.readAllRecords(spark, src).toDF()
       val filtered = DblpPipe.downloadAndFilterRelease(
         recs, a.dblpUseFilters, a.dblpAccessTypes, a.dblpFromTimestamp)
       a.exportJsonl.foreach(dir => Export.toJsonlGz(filtered, dir))

@@ -62,4 +62,26 @@ class CliSpec extends SparkSpec {
     val s3 = CrawlCli.run(spark, a.copy(maxBatches = Int.MaxValue))
     assert(s3.batchesProcessed == 0, s"replay re-processed ${s3.batchesProcessed} batches")
   }
+
+  test("--split_dump re-frames the monolithic dump and the run ingests the split dir losslessly") {
+    val cache = tmp("cli-cache-split")
+    val dump = (1 to 9).map { i =>
+      s"""<article mdate="2021-05-0$i" key="s$i"><title>T$i</title>
+         |<ee type="oa">http://x.example.org/$i</ee><year>2021</year></article>""".stripMargin
+    }.mkString("""<?xml version="1.0"?><dblp>""", "\n", "</dblp>")
+    val dumpFile = Files.createTempDirectory("cli-dump-split").resolve("dblp.xml")
+    Files.write(dumpFile, dump.getBytes(StandardCharsets.UTF_8))
+    val split = tmp("cli-split") + "/parts"
+
+    val a = CrawlCli.parse(Seq(
+      "--cache_dir", cache, "--urls", "100", "--partitions", "4",
+      "--dblp_dump", dumpFile.toString, "--dblp_use_filters",
+      "--dblp_access_type", "open,oa", "--dblp_from_timestamp", "2019-01-01",
+      "--split_dump", split, "--split_parts", "3"))
+    assert(a.splitDump.contains(split) && a.splitParts == 3)
+    val s = CrawlCli.run(spark, a)
+    assert(s.dblpRecordsAdmitted == 9, s"split-dir ingest admitted ${s.dblpRecordsAdmitted}/9")
+    // the re-frame actually produced parallel-readable parts
+    assert(new java.io.File(split).listFiles().count(_.getName.endsWith(".txt.gz")) == 3)
+  }
 }
