@@ -193,10 +193,15 @@ object Bench {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       import graft.canon.UrlCanon
-      val seenM = spark.read.parquet(fxMain.seenDir)
+      // dedicated seen corpus at the FULL frontier size (not the fixture's
+      // quarter) so the corpus/batch ratio ≈ 32:1 — small ratios hide the
+      // O(corpus)-vs-O(batch) gap behind fixed per-job overhead
+      val seenM = CrawlPipeline.planAll(spark, CrawlPipeline.Config(
+          nUrls = benchUrls, numPartitions = cpus))
+        .select("canonical_url")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSeen = seenM.count()
-      val half = benchUrls / 40
+      val half = benchUrls / 80
       // 50% genuinely-new batch (typical crawl mix; the seen half
       // exercises insert idempotence, not extra capacity)
       val batch = spark.range(benchUrls, benchUrls + half).map((i: java.lang.Long) => Synth.seedUrlOf(i)).toDF("url")

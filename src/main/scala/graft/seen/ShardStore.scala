@@ -46,7 +46,14 @@ final class ShardStore(
   /** Shards current through `upTo`: loads the newest version and, if it
     * lags, inserts the missing urls (`from < first_batch_id <= upTo`) from
     * the seen table's lineage column and persists the healed version.
-    * Idempotent: healing an already-current store is a pure read. */
+    * Idempotent: healing an already-current store is a pure read.
+    *
+    * `seen` may be the full table or a LINEAGE-PRUNED subset (e.g.
+    * [[graft.tableio.SnapshotTable.readSinceBatch]] of commits after
+    * [[latestBatch]]) — it only must contain every row with
+    * `first_batch_id` in `(latestBatch, upTo]`; the filter here re-applies
+    * either way, so over-approximating is safe and pruning makes the heal
+    * read O(missed batches) instead of O(corpus). */
   def heal(spark: SparkSession, seen: DataFrame /* canonical_url, first_batch_id */,
       upTo: Long): Dataset[CuckooShard] = {
     import spark.implicits._

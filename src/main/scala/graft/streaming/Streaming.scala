@@ -122,7 +122,13 @@ object Streaming {
             case Some(seen) => maintainedShards match {
               case Some(store) =>
                 val upTo = seenT.committedBatchIds.max
-                val shards = store.heal(spark, seen, upTo)
+                // heal input is LINEAGE-PRUNED: only commits newer than the
+                // store's last good version are read (manifest walk, not a
+                // full seen-table scan — the delta is O(missed batches))
+                val delta = seenT
+                  .readSinceBatch(spark, store.latestBatch.getOrElse(-1L))
+                  .getOrElse(seen.limit(0))
+                val shards = store.heal(spark, delta, upTo)
                 graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
                   deduped, shards, seen.select("canonical_url"),
                   store.numBuckets, store.salt)
@@ -140,8 +146,13 @@ object Streaming {
             batchId = batchId)
           // advance the maintained filter through this batch; a crash
           // before this line is healed by the next batch's heal() call
-          maintainedShards.foreach(store =>
-            store.heal(spark, seenT.read(spark).get, batchId))
+          maintainedShards.foreach { store =>
+            val delta = seenT
+              .readSinceBatch(spark, store.latestBatch.getOrElse(-1L))
+              .getOrElse(ranked.select("canonical_url").limit(0)
+                .withColumn("first_batch_id", lit(batchId)))
+            store.heal(spark, delta, batchId)
+          }
           ()
         }
       }

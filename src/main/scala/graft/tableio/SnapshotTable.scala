@@ -73,6 +73,18 @@ final class SnapshotTable(val root: String) {
     if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
   }
 
+  /** Lineage-pruned read: only the data files of commits with
+    * `batchId > afterBatch`. This is what a maintained-filter heal
+    * ([[graft.seen.ShardStore]]) actually needs — the delta since the
+    * filter's last good version — read in O(delta commits) instead of a
+    * full-table scan (each commit's files are recorded in its manifest,
+    * so pruning is a manifest walk, no file listing). */
+  def readSinceBatch(spark: SparkSession, afterBatch: Long): Option[DataFrame] = {
+    val files = headId.map(id => chain(id).filter(_.batchId > afterBatch)
+      .flatMap(_.files)).getOrElse(Nil).map(f => rootP.resolve(f).toString)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
   /** Has a commit with this batchId already landed? (resume idempotency) */
   def committedBatchIds: Set[Long] =
     headId.map(id => chain(id).map(_.batchId).filter(_ >= 0).toSet).getOrElse(Set.empty)

@@ -60,4 +60,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(chain.map(_.parent) == Seq(0L, -1L))
     assert(chain.forall(_.files.nonEmpty))
   }
+
+  test("readSinceBatch prunes by lineage: only commits newer than the cutoff are read") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 1)
+    t.commit(Seq((3, "c")).toDF("id", "v"), batchId = 2)
+    assert(t.readSinceBatch(spark, 0).get.select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(t.readSinceBatch(spark, -1).get.count() == 3)
+    assert(t.readSinceBatch(spark, 2).isEmpty, "current store needs no delta")
+  }
 }
