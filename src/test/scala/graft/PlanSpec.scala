@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"offsets join must not sort-merge:\n$s")
   }
 
+  test("robots gate: kernel verdict runs inside the codegen span over a broadcast join") {
+    val df = SparkEntry.queries("c25_robots_gate")(spark, dir)
+    val p = executedPlan(df)
+    val s = p.toString
+    // the rules dim broadcasts (never shuffles the frontier) ...
+    assert(s.contains("BroadcastHashJoin"), s"rules dim must broadcast:\n$s")
+    // ... and the verdict filter is codegen'd ("*(n) Filter" above the
+    // join), not a CodegenFallback project — the HOF form this replaced
+    // planned the verdict as an interpreted expression
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(s).isDefined,
+      s"robots verdict fell out of codegen:\n$s")
+    assert(!s.contains("CodegenFallback"), s"interpreted expression in plan:\n$s")
+  }
+
   test("seen anti-join under AQE avoids sort-merge on the small side") {
     val plan = planString(SparkEntry.queries("c3_seen_antijoin")(spark, dir))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
