@@ -36,6 +36,8 @@ object GraftExtensions {
       args => PsnrExpr(args.head, args(1))),
     ("bloom_might_contain", "bloom_might_contain(blob, key) - Bloom shard membership probe",
       args => BloomMightContainExpr(args.head, args(1))),
+    ("cuckoo_might_contain", "cuckoo_might_contain(blob, key) - cuckoo shard membership probe",
+      args => CuckooMightContainExpr(args.head, args(1))),
     ("resize_nn", "resize_nn(bytes, w, h) - nearest-neighbor resize, re-encoded in the same format",
       args => ResizeExpr(args.head, args(1), args(2))),
     ("shingles", "shingles(toks, k) - word k-gram strings from a token array",

@@ -207,6 +207,37 @@ object GraftExprHelpers {
     }
     bloom.mightContain(key)
   }
+
+  private val ccache = new ThreadLocal[(Array[Byte], graft.seen.Cuckoo)]()
+  def cuckooMightContainCached(blob: Array[Byte], key: Long): Boolean = {
+    val c = ccache.get()
+    val f = if (c != null && (c._1 eq blob)) c._2 else {
+      val f0 = graft.seen.Cuckoo.deserialize(blob)
+      ccache.set((blob, f0))
+      f0
+    }
+    f.mightContain(key)
+  }
+}
+
+/** cuckoo_might_contain(blob, key): shard-as-column probe for the
+  * partitioned cuckoo gate ([[graft.seen.CuckooSeen.gateNotSeenPartitioned]]
+  * — shard sets past the broadcast limit co-partition with candidates and
+  * each task streams its one shard; same per-task identity-cached
+  * deserialization as the Bloom twin). */
+case class CuckooMightContainExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (BINARY, BIGINT)")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(blob: Any, key: Any): Any =
+    GraftExprHelpers.cuckooMightContainCached(blob.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) => s"graft.functions.GraftExprHelpers.cuckooMightContainCached($b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CuckooMightContainExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cuckoo_might_contain"
 }
 
 /** minhash_buckets(shingles, numBands, rowsPerBand): per-band LSH bucket
@@ -370,6 +401,8 @@ object graftfns {
   def psnr(a: Column, b: Column): Column = Bridge.column(PsnrExpr(Bridge.expression(a), Bridge.expression(b)))
   def bloomMightContain(blob: Column, key: Column): Column =
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
+  def cuckooMightContain(blob: Column, key: Column): Column =
+    Bridge.column(CuckooMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
   def shingles(toks: Column, k: Int): Column =

@@ -73,6 +73,29 @@ object CuckooSeen {
     candidates.filter(!probe)
   }
 
+  /** Join-based gate for shard sets past the broadcast limit (the
+    * 10^10-url regime: e.g. 512 × ~50 MB shards ≈ 25 GB — collect+
+    * broadcast is off the table). One shuffle co-partitions candidates
+    * with their shard on the salted bucket; each task streams its one
+    * shard with identity-cached deserialization
+    * ([[graft.functions.CuckooMightContainExpr]]). Mirror of
+    * [[BloomSeen.gateNotSeenPartitioned]]. */
+  def gateNotSeenPartitioned(
+      candidates: DataFrame,
+      shards: Dataset[CuckooShard],
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+    import graft.functions.graftfns
+    val withKey = candidates
+      .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
+      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
+    withKey
+      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
+        Seq("__bucket"), "left")
+      .filter(col("blob").isNull || !graftfns.cuckooMightContain(col("blob"), col("__key")))
+      .drop("__bucket", "__key", "blob", "n_items")
+  }
+
   /** Exact frontier-minus-seen with a cuckoo fast path (same composition
     * as [[BloomSeen.notSeenExactWithBloomFastPath]]): negatives definitely
     * unseen → pass; positives exact-confirmed. Row-equal to a plain exact

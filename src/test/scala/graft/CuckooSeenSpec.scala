@@ -64,6 +64,15 @@ class CuckooSeenSpec extends SparkSpec {
     assert(gatedAfter.count() == gated.count() + expected.size)
   }
 
+  test("partitioned gate (shard-as-column, past-broadcast-limit path) == broadcast gate") {
+    val shards = CuckooSeen.buildShards(seen, B)
+    val bc = CuckooSeen.gateNotSeen(cand, shards, B)
+      .collect().map(_.getString(0)).toSet
+    val part = CuckooSeen.gateNotSeenPartitioned(cand, shards, B)
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    assert(part == bc, s"partitioned gate diverged: ${(part diff bc).take(3)} / ${(bc diff part).take(3)}")
+  }
+
   test("insert() incrementally folds a batch into existing shards == one-shot build over the union") {
     // split the seen set: build over the first half, insert the second
     // half in two incremental rounds (micro-batch shape), compare the gate
