@@ -145,9 +145,12 @@ object Bench {
       val t = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
+          // strip EVERY control char plus quote/backslash — any U+0000-1F
+          // in an exception message would make the emitted line (and
+          // BENCH_LAST.json) unparseable JSON
           errs(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")).take(160)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
         }
       }
       name -> t

@@ -17,14 +17,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RobotsKernel {
 
-  /** byte offset where the path starts (first '/' after "://"), or
-    * url length when the url has no path. */
+  /** byte offset where the path starts, EXACTLY mirroring the oracle's
+    * anchored regexp `^[a-z][a-z0-9+.-]*://[^/]*`: the url must START with
+    * a lowercase-letter-led scheme followed by "://" (canonical urls do —
+    * UrlCanon lowercases the scheme); anything else leaves the WHOLE url
+    * as the path, as the unanchored-match-failure of the regexp does.
+    * A first-"://"-anywhere scan would diverge on non-canonical input
+    * (e.g. "HTTP://h/x": regexp no-match ⇒ path = whole url; a naive scan
+    * would strip the authority and change the verdict). */
   private def pathStart(url: UTF8String): Int = {
     val n = url.numBytes
-    var i = 0
-    // find "://"
-    while (i + 2 < n && !(url.getByte(i) == ':' && url.getByte(i + 1) == '/' && url.getByte(i + 2) == '/')) i += 1
-    if (i + 2 >= n) return n
+    if (n == 0) return 0
+    val c0 = url.getByte(0)
+    if (c0 < 'a' || c0 > 'z') return 0 // no lowercase scheme ⇒ path = whole url
+    var i = 1
+    var b = if (i < n) url.getByte(i) else 0
+    while (i < n && ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+        b == '+' || b == '.' || b == '-')) {
+      i += 1
+      b = if (i < n) url.getByte(i) else 0
+    }
+    if (i + 2 >= n || url.getByte(i) != ':' || url.getByte(i + 1) != '/' || url.getByte(i + 2) != '/')
+      return 0 // scheme not followed by "://" ⇒ regexp no-match ⇒ whole url
     i += 3
     while (i < n && url.getByte(i) != '/') i += 1
     i

@@ -218,6 +218,42 @@ object GraftExprHelpers {
     }
     f.mightContain(key)
   }
+
+  // Partitioned-gate caches, keyed by (gate epoch, shard bucket). The
+  // identity caches above NEVER hit on a joined-in blob column — each
+  // row's UnsafeRow.getBinary is a fresh copy — which re-deserializes the
+  // whole shard per candidate row (the repo's documented blob-copy trap).
+  // The bucket id is copy-stable; the epoch (unique per gate invocation)
+  // prevents a pooled task thread from serving a STALE filter when the
+  // same bucket's shard changes between queries (e.g. after insert()).
+  private val epochGen = new java.util.concurrent.atomic.AtomicLong()
+  def nextGateEpoch(): Long = epochGen.incrementAndGet()
+
+  private val bloomShardCache =
+    new ThreadLocal[(Long, java.util.HashMap[Integer, Bloom])]()
+  def bloomProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
+    var c = bloomShardCache.get()
+    if (c == null || c._1 != epoch) {
+      c = (epoch, new java.util.HashMap[Integer, Bloom]())
+      bloomShardCache.set(c)
+    }
+    var f = c._2.get(Integer.valueOf(bucket))
+    if (f == null) { f = Bloom.deserialize(blob); c._2.put(Integer.valueOf(bucket), f) }
+    f.mightContain(key)
+  }
+
+  private val cuckooShardCache =
+    new ThreadLocal[(Long, java.util.HashMap[Integer, graft.seen.Cuckoo])]()
+  def cuckooProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
+    var c = cuckooShardCache.get()
+    if (c == null || c._1 != epoch) {
+      c = (epoch, new java.util.HashMap[Integer, graft.seen.Cuckoo]())
+      cuckooShardCache.set(c)
+    }
+    var f = c._2.get(Integer.valueOf(bucket))
+    if (f == null) { f = graft.seen.Cuckoo.deserialize(blob); c._2.put(Integer.valueOf(bucket), f) }
+    f.mightContain(key)
+  }
 }
 
 /** cuckoo_might_contain(blob, key): shard-as-column probe for the
@@ -238,6 +274,47 @@ case class CuckooMightContainExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CuckooMightContainExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cuckoo_might_contain"
+}
+
+/** Shard-probe for the PARTITIONED gates: (bucket, blob, key) with the
+  * per-(epoch, bucket) thread cache — one deserialization per (task,
+  * bucket), correct across shard updates (see GraftExprHelpers). */
+case class BloomShardProbeExpr(first: Expression, second: Expression, third: Expression,
+    epoch: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == IntegerType && second.dataType == BinaryType && third.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT, BINARY, BIGINT)")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(b: Any, blob: Any, k: Any): Any =
+    GraftExprHelpers.bloomProbeBucketCached(epoch, b.asInstanceOf[Int],
+      blob.asInstanceOf[Array[Byte]], k.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, blob, k) =>
+      s"graft.functions.GraftExprHelpers.bloomProbeBucketCached(${epoch}L, $b, $blob, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): BloomShardProbeExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "bloom_shard_probe"
+}
+
+case class CuckooShardProbeExpr(first: Expression, second: Expression, third: Expression,
+    epoch: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == IntegerType && second.dataType == BinaryType && third.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT, BINARY, BIGINT)")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(b: Any, blob: Any, k: Any): Any =
+    GraftExprHelpers.cuckooProbeBucketCached(epoch, b.asInstanceOf[Int],
+      blob.asInstanceOf[Array[Byte]], k.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, blob, k) =>
+      s"graft.functions.GraftExprHelpers.cuckooProbeBucketCached(${epoch}L, $b, $blob, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): CuckooShardProbeExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "cuckoo_shard_probe"
 }
 
 /** minhash_buckets(shingles, numBands, rowsPerBand): per-band LSH bucket
@@ -403,6 +480,12 @@ object graftfns {
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def cuckooMightContain(blob: Column, key: Column): Column =
     Bridge.column(CuckooMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
+  def bloomShardProbe(bucket: Column, blob: Column, key: Column): Column =
+    Bridge.column(BloomShardProbeExpr(Bridge.expression(bucket), Bridge.expression(blob),
+      Bridge.expression(key), GraftExprHelpers.nextGateEpoch()))
+  def cuckooShardProbe(bucket: Column, blob: Column, key: Column): Column =
+    Bridge.column(CuckooShardProbeExpr(Bridge.expression(bucket), Bridge.expression(blob),
+      Bridge.expression(key), GraftExprHelpers.nextGateEpoch()))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
   def shingles(toks: Column, k: Int): Column =

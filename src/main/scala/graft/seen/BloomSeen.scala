@@ -152,7 +152,13 @@ object BloomSeen {
     * membership after k incremental rounds equals the one-shot build over
     * the union — asserted in BloomSpec. Buckets with no existing shard
     * (first urls to land there) get a fresh filter sized by
-    * `expectedPerShard`/`fpp`. */
+    * `expectedPerShard`/`fpp`.
+    *
+    * `n_items` counts keys FOLDED IN (the builder's semantics, buffer
+    * count slot) — a Bloom filter cannot know distinct membership, so
+    * replaying a batch inflates it while the bit array is unchanged.
+    * Treat it as an upper bound on load when sizing reshards; the cuckoo
+    * twin reports true `occupiedSlots` instead. */
   def insertShards(
       shards: Dataset[BloomShard],
       urls: DataFrame, // col: canonical_url
@@ -182,8 +188,11 @@ object BloomSeen {
   }
 
   /** Join-based gate for shard sets too big to broadcast: one shuffle
-    * co-partitions candidates with their shard; the per-task blob
-    * deserialization is cached (BloomMightContainExpr). */
+    * co-partitions candidates with their shard; the blob deserializes once
+    * per (task, bucket) via the epoch-scoped bucket cache
+    * (BloomShardProbeExpr — an identity cache would NEVER hit here: the
+    * joined-in blob is a fresh UnsafeRow.getBinary copy per row, so it
+    * would re-copy and re-deserialize the whole shard per candidate). */
   def gateNotSeenPartitioned(
       candidates: DataFrame,
       shards: Dataset[BloomShard],
@@ -196,7 +205,8 @@ object BloomSeen {
     withKey
       .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
         Seq("__bucket"), "left")
-      .filter(col("blob").isNull || !graftfns.bloomMightContain(col("blob"), col("__key")))
+      .filter(col("blob").isNull ||
+        !graftfns.bloomShardProbe(col("__bucket"), col("blob"), col("__key")))
       .drop("__bucket", "__key", "blob", "n_items")
   }
 }

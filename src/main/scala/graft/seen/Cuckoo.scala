@@ -143,10 +143,17 @@ final class Cuckoo(val table: Array[Short], val numBuckets: Int,
     false
   }
 
-  /** Delete one copy of the key's fingerprint; false if absent. Deleting a
-    * never-inserted key is UNSAFE only in the textbook sense of possibly
-    * removing a colliding key's fingerprint — callers delete only keys
-    * they know were inserted (re-crawl scheduling). */
+  /** Delete one copy of the key's fingerprint; false if absent.
+    *
+    * HAZARD under set-semantics inserts: two DISTINCT keys colliding on
+    * (fingerprint, bucket pair) share ONE stored copy, so deleting either
+    * key false-negatives the other (the cuckoo paper's delete is only
+    * safe under counting semantics). The engine therefore never deletes
+    * from a shared seen shard — [[CuckooSeen.forget]] REBUILDS the owning
+    * shards from the authoritative membership instead. This low-level
+    * method remains for single-writer filters whose callers can rule the
+    * collision out (property-tested churn in BloomSpec models exactly
+    * that: its Set model deletes only live keys it inserted). */
   def delete(key: Long): Boolean = {
     val fp = fingerprintOf(key)
     val i1 = bucket1(key)

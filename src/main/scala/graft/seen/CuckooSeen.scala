@@ -77,9 +77,10 @@ object CuckooSeen {
     * 10^10-url regime: e.g. 512 × ~50 MB shards ≈ 25 GB — collect+
     * broadcast is off the table). One shuffle co-partitions candidates
     * with their shard on the salted bucket; each task streams its one
-    * shard with identity-cached deserialization
-    * ([[graft.functions.CuckooMightContainExpr]]). Mirror of
-    * [[BloomSeen.gateNotSeenPartitioned]]. */
+    * shard, deserialized once per (task, bucket) via the epoch-scoped
+    * bucket cache ([[graft.functions.CuckooShardProbeExpr]] — an identity
+    * cache would never hit on a joined-in blob: each row's getBinary is a
+    * fresh copy). Mirror of [[BloomSeen.gateNotSeenPartitioned]]. */
   def gateNotSeenPartitioned(
       candidates: DataFrame,
       shards: Dataset[CuckooShard],
@@ -92,7 +93,8 @@ object CuckooSeen {
     withKey
       .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
         Seq("__bucket"), "left")
-      .filter(col("blob").isNull || !graftfns.cuckooMightContain(col("blob"), col("__key")))
+      .filter(col("blob").isNull ||
+        !graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
       .drop("__bucket", "__key", "blob", "n_items")
   }
 
@@ -217,35 +219,51 @@ object CuckooSeen {
       }
   }
 
-  /** DELETE urls from their shards (the re-crawl primitive Bloom lacks):
-    * distributed cogroup on the salted bucket — each task rewrites only the
-    * shards that own forgotten urls; untouched shards pass through
-    * unchanged. */
+  /** FORGET urls to schedule a re-crawl (the primitive Bloom lacks):
+    * rebuild the TOUCHED shards from the authoritative seen set minus the
+    * forgotten urls; untouched shards pass through unchanged.
+    *
+    * Why rebuild instead of fingerprint deletion: with set-semantics
+    * (idempotent) inserts, two DISTINCT keys colliding on (fingerprint,
+    * bucket pair) store ONE copy — a raw `Cuckoo.delete` of one key would
+    * silently false-negative the other, and a seen url would slip through
+    * the gate's "definitely unseen" branch un-confirmed (the cuckoo
+    * paper's delete is only safe under counting semantics, which in turn
+    * breaks replay idempotence). Rebuilding the owning shards from truth
+    * is collision-proof by construction and bounded: cost is
+    * O(seen/numBuckets × touched buckets), and a re-crawl batch salted
+    * over many shards touches few of each shard's keys but only its own
+    * buckets. Gate-equal to a from-scratch build over seen∖forgotten
+    * (asserted in CuckooSeenSpec). */
   def forget(
       shards: Dataset[CuckooShard],
-      urls: DataFrame, // col: canonical_url
+      urls: DataFrame, // col: canonical_url — urls to forget
+      seen: DataFrame, // col: canonical_url — authoritative current membership
       numBuckets: Int,
-      salt: Long = BloomSeen.DefaultSalt): Dataset[CuckooShard] = {
+      salt: Long = BloomSeen.DefaultSalt,
+      expectedPerShard: Long = 0L): Dataset[CuckooShard] = {
+    import org.apache.spark.sql.functions.broadcast
     val spark = shards.sparkSession
     import spark.implicits._
-    val keyed = urls
-      .select(
-        BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt).as("bucket"),
-        UrlCanon.saltedKey(col("canonical_url"), salt).as("key"))
-      .as[(Int, Long)]
-    shards.groupByKey(_.bucket)
-      .cogroup(keyed.groupByKey(_._1)) { (_, shardIt, keyIt) =>
-        shardIt.map { shard =>
-          val ks = keyIt.map(_._2).toArray
-          if (ks.isEmpty) shard
-          else {
-            val f = Cuckoo.deserialize(shard.blob)
-            var removed = 0L
-            ks.foreach(k => if (f.delete(k)) removed += 1)
-            CuckooShard(shard.bucket, f.serialize(), shard.n_items - removed)
-          }
-        }
+    val touched = urls
+      .select(BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt).as("__tb"))
+      .distinct()
+    val keep = seen
+      .join(urls.select("canonical_url"), Seq("canonical_url"), "left_anti")
+      .withColumn("__b", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
+      .join(broadcast(touched), col("__b") === col("__tb"), "left_semi")
+      .select("canonical_url")
+    val expect =
+      if (expectedPerShard > 0) expectedPerShard
+      else {
+        val nT = math.max(touched.count(), 1L)
+        math.max(keep.count() / nT + 1, 1024L)
       }
+    val rebuilt = buildShards(keep, numBuckets, salt, expect)
+    val untouched = shards
+      .join(broadcast(touched), shards("bucket") === col("__tb"), "left_anti")
+      .as[CuckooShard]
+    untouched.unionByName(rebuilt)
   }
 }
 

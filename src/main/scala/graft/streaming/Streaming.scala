@@ -117,7 +117,15 @@ object Streaming {
             UrlCanon.hostOf(col("url")).as("host"),
             col("priority"), col("seed_rank"), lit(0).as("depth"))
           val robots = Scheduler.robotsFilter(canon, graft.model.Synth.robotsRules(spark).toDF())
+          // Persist the batch frontier HERE and release it at the end of
+          // the batch: the maintained gate consumes it twice (negatives ∪
+          // exact-confirm), and its internal persist() is then a no-op on
+          // the already-cached plan. Without the unpersist a long stream
+          // accumulates one cached frontier (plus its pinned shard-map
+          // broadcast) per micro-batch until the session dies.
           val deduped = Scheduler.dedupFrontier(robots)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           val unseen = seenT.read(spark) match {
             case Some(seen) => maintainedShards match {
               case Some(store) =>
@@ -153,6 +161,7 @@ object Streaming {
                 .withColumn("first_batch_id", lit(batchId)))
             store.heal(spark, delta, batchId)
           }
+          } finally deduped.unpersist()
           ()
         }
       }

@@ -111,6 +111,18 @@ object CrawlCli {
     * resumable micro-batch crawl, (optional) exports. Idempotent under
     * re-invocation — a second run with the same cache_dir replays nothing. */
   def run(spark: SparkSession, a: Args): Summary = {
+    // exports and the dump re-frame only execute against a dump — valid
+    // flags that would silently do nothing must fail loudly instead (the
+    // same contract as unknown flags; a user expecting the K2/K3 sink
+    // must not get an empty dir and exit 0)
+    if (a.dblpDump.isEmpty) {
+      val inert = Seq(
+        a.exportJsonl.map(_ => "--export_jsonl"),
+        a.exportCsv.map(_ => "--export_csv"),
+        a.splitDump.map(_ => "--split_dump")).flatten
+      require(inert.isEmpty,
+        s"${inert.mkString(", ")} require(s) --dblp_dump — nothing would be exported")
+    }
     if (a.verbose) spark.sparkContext.setLogLevel("INFO")
     val (store, seeds) = CrawlPipeline.seedFromImageTable(
       spark, s"${a.cacheDir}/store", a.urls, a.partitions)

@@ -27,6 +27,14 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](CrawlCli.parse(Seq("--s2_filter_nope")))
   }
 
+  test("export/split flags without --dblp_dump fail loudly instead of silently doing nothing") {
+    val a = CrawlCli.parse(Seq("--urls", "100", "--export_jsonl", "/tmp/nowhere"))
+    val e = intercept[IllegalArgumentException](CrawlCli.run(spark, a))
+    assert(e.getMessage.contains("--export_jsonl"))
+    val b = CrawlCli.parse(Seq("--urls", "100", "--split_dump", "/tmp/nowhere"))
+    intercept[IllegalArgumentException](CrawlCli.run(spark, b))
+  }
+
   test("full lifecycle from flags: crawl commits batches, replay is a no-op, dump is filtered and exported") {
     val cache = tmp("cli-cache")
     val dump =

@@ -49,11 +49,11 @@ class CuckooSeenSpec extends SparkSpec {
     assert(a == b, s"duplicate build diverged: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
   }
 
-  test("forget() re-admits exactly the forgotten urls (re-crawl)") {
+  test("forget() re-admits exactly the forgotten urls (re-crawl), collision-proof by rebuild") {
     import spark.implicits._
     val shards = CuckooSeen.buildShards(seen, B)
     val recrawl = seen.orderBy("canonical_url").limit(50)
-    val updated = CuckooSeen.forget(shards, recrawl, B)
+    val updated = CuckooSeen.forget(shards, recrawl, seen, B)
     val gated = CuckooSeen.gateNotSeen(cand, shards, B)
     val gatedAfter = CuckooSeen.gateNotSeen(cand, updated, B)
     val reAdmitted = gatedAfter.exceptAll(gated).as[String].collect().toSet
@@ -62,6 +62,13 @@ class CuckooSeenSpec extends SparkSpec {
       s"missing=${(expected diff reAdmitted).take(3)} extra=${(reAdmitted diff expected).take(3)}")
     // everything else is untouched
     assert(gatedAfter.count() == gated.count() + expected.size)
+    // rebuild-from-truth: the load-bearing contract is NO FALSE NEGATIVE —
+    // no still-seen url may pass the updated gate. Fingerprint deletion
+    // could violate this via a (fp, bucket-pair) collision with a
+    // forgotten key; the rebuild never deletes a fingerprint, so the
+    // hazard is structurally impossible.
+    assert(ExactSeen.alreadySeen(gatedAfter, seen.exceptAll(recrawl)).count() == 0,
+      "a still-seen url passed the gate after forget()")
   }
 
   test("partitioned gate (shard-as-column, past-broadcast-limit path) == broadcast gate") {

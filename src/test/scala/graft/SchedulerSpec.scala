@@ -47,6 +47,23 @@ class SchedulerSpec extends SparkSpec {
       "https://norules.example.com/x"))
   }
 
+  test("robotsFilter: path extraction is anchored exactly like the oracle regexp (non-canonical urls keep the whole string as path)") {
+    import spark.implicits._
+    // regexp ^[a-z][a-z0-9+.-]*://[^/]* does NOT match an uppercase scheme
+    // → path = whole url → '/img/' prefix cannot match → url passes. The
+    // kernel must mirror that no-match branch, not strip at the first ://
+    val odd = Seq(
+      ("HTTP://multi.example.com/img/upper", "multi.example.com", 0L, 0L, 0), // uppercase scheme
+      ("no-scheme-at-all/img/x", "multi.example.com", 0L, 1L, 0), // no ://
+      ("https://multi.example.com/img/a", "multi.example.com", 0L, 2L, 0) // canonical → dropped
+    ).toDF("canonical_url", "host", "priority", "seed_rank", "depth")
+    val robots = Seq(("multi.example.com", "/img/", false)).toDF("host", "path_prefix", "allowed")
+    val urls = Scheduler.robotsFilter(odd, robots)
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("HTTP://multi.example.com/img/upper", "no-scheme-at-all/img/x"),
+      s"got $urls")
+  }
+
   test("globalRank is bit-identical to the single-partition window rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -62,6 +62,48 @@ class SeenMaintenanceSpec extends SparkSpec {
     assert(after.keySet == before.keySet ++ touched, "new buckets not created")
   }
 
+  test("ShardStore versions write ONLY touched shards; compaction bounds file fan-in; remote roots rejected") {
+    import graft.seen.ShardStore
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("shardstore-v").toString + "/store"
+    val store = new ShardStore(root, numBuckets = 8, expectedPerShard = 8192, compactEvery = 3)
+    def lineage(urls: DataFrame, b: Long) = urls.withColumn("first_batch_id", lit(b))
+    def touchedOf(urls: DataFrame) = urls
+      .select(graft.seen.BloomSeen.bucketCol(col("canonical_url"), 8, graft.seen.BloomSeen.DefaultSalt).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    val all = seen.orderBy("canonical_url")
+    val b0 = all.limit(40)
+    store.heal(spark, lineage(b0, 0), 0)
+    assert(store.latestBatch.contains(0L))
+
+    // a small second batch touches a subset of buckets — its delta file
+    // must contain EXACTLY those shards, nothing else rewritten
+    val b1 = all.exceptAll(b0).limit(5)
+    store.heal(spark, lineage(b1, 1), 1)
+    val delta1 = spark.read.parquet(s"$root/blobs/delta-b${"%020d".format(1)}.parquet")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(delta1 == touchedOf(b1), s"delta file buckets $delta1 != touched ${touchedOf(b1)}")
+
+    // completeness after both versions: every inserted url probes positive
+    val inserted = b0.unionByName(b1)
+    assert(graft.seen.CuckooSeen.gateNotSeen(inserted, store.current(spark), 8).count() == 0)
+
+    // push past compactEvery distinct files → one compacted file, and the
+    // filter stays complete
+    var handed = b0.unionByName(b1)
+    (2L to 5L).foreach { b =>
+      val next = all.exceptAll(handed).limit(3)
+      store.heal(spark, lineage(next, b), b)
+      handed = handed.unionByName(next)
+    }
+    assert(graft.seen.CuckooSeen.gateNotSeen(handed, store.current(spark), 8).count() == 0)
+    val blobFiles = new java.io.File(root, "blobs").listFiles().map(_.getName).toSet
+    assert(blobFiles.size <= 3, s"compaction/prune failed to bound blobs: $blobFiles")
+
+    intercept[IllegalArgumentException](new ShardStore("s3://bucket/x", 8))
+  }
+
   test("cuckoo shards round-trip through parquet and keep gating identically (cross-session seen state)") {
     import graft.seen.CuckooSeen
     val shards = CuckooSeen.buildShards(seen, B, expectedPerShard = 8192)

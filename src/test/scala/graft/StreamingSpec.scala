@@ -165,13 +165,17 @@ class StreamingSpec extends SparkSpec {
     Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootA, ckptA,
       budget = 2, numPartitions = 4)
 
-    // CRASH SIMULATION for the maintained run: the shard version written
-    // after the FIRST batch is lost (crash between seen commit and shard
-    // write) — heal() must rebuild the delta from first_batch_id lineage,
-    // or seen urls would slip past the gate and be crawled twice
-    val lost = new java.io.File(shardRoot).listFiles().filter(_.getName.startsWith("shards_b"))
-    assert(lost.nonEmpty, "first run wrote no shard version")
-    lost.foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    // CRASH SIMULATION for the maintained run: every shard version written
+    // so far is lost (crash between seen commit and shard write) — heal()
+    // must rebuild the delta from first_batch_id lineage, or seen urls
+    // would slip past the gate and be crawled twice
+    val lostManifests = new java.io.File(shardRoot).listFiles()
+      .filter(_.getName.startsWith("manifest-b"))
+    assert(lostManifests.nonEmpty, "first run wrote no shard version")
+    lostManifests.foreach(_.delete())
+    new java.io.File(shardRoot, "blobs").listFiles().foreach { d =>
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
     Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootB, ckptB,
       budget = 2, numPartitions = 4, maintainedShards = Some(shards))
 
@@ -185,8 +189,7 @@ class StreamingSpec extends SparkSpec {
 
     // the healed store is complete: every seen url probes positive
     val seenB = new SnapshotTable(s"$rootB/seen").read(spark).get
-    val cur = CuckooSeen.readShards(spark,
-      s"$shardRoot/shards_b" + "%020d".format(shards.latestBatch.get))
+    val cur = shards.current(spark)
     assert(CuckooSeen.gateNotSeen(seenB.select("canonical_url"), cur, 4).count() == 0)
   }
 }
