@@ -164,6 +164,39 @@ object CuckooSeen {
     negatives.unionByName(ExactSeen.notSeen(positives, seen))
   }
 
+  /** Exact frontier-minus-seen for shard sets PAST the broadcast limit —
+    * the composition [[notSeenExactWithPrebuilt]] cannot use (it collects
+    * and broadcasts the whole shard set; at 512 × ~50 MB that is 25 GB on
+    * the driver). One shuffle co-partitions candidates with their shard;
+    * the probe splits the co-partitioned stream in place (negatives pass,
+    * positives exact-confirm against `seen`) with the same per-(epoch,
+    * bucket) cached deserialization as [[gateNotSeenPartitioned]].
+    * Row-equal to a plain exact anti join (CuckooSeenSpec). */
+  def notSeenExactPartitioned(
+      candidates: DataFrame,
+      shards: Dataset[CuckooShard],
+      seen: DataFrame, // col: canonical_url (exact-confirm side)
+      numBuckets: Int,
+      salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+    import graft.functions.graftfns
+    val cols = candidates.columns
+    val withKey = candidates
+      .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
+      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
+      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
+        Seq("__bucket"), "left")
+      .withColumn("__hit", col("blob").isNotNull &&
+        graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
+      // persist the POST-JOIN probe result, not the raw candidates: the
+      // two consumers below must not re-run the shuffle+probe, and the
+      // cached rows carry only a boolean extra (blob dropped first)
+      .select((cols.map(col) :+ col("__hit")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negatives = withKey.filter(!col("__hit")).drop("__hit")
+    val positives = withKey.filter(col("__hit")).drop("__hit")
+    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+  }
+
   /** Persist shards as a parquet table partitioned-in-files by bucket.
     * The shard set IS the crawl's cross-session seen state — write after
     * each maintenance round ([[insert]]/[[forget]]), read at campaign

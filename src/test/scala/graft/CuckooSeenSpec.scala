@@ -71,6 +71,15 @@ class CuckooSeenSpec extends SparkSpec {
       "a still-seen url passed the gate after forget()")
   }
 
+  test("partitioned EXACT composition (past-broadcast-limit path) is row-equal to the exact anti join") {
+    val exact = ExactSeen.notSeen(cand, seen)
+      .collect().map(_.getString(0)).toSet
+    val shards = CuckooSeen.buildShards(seen, B)
+    val part = CuckooSeen.notSeenExactPartitioned(cand, shards, seen, B)
+      .collect().map(_.getString(0)).toSet
+    assert(part == exact, s"partitioned composition diff: ${(part diff exact).take(3)} / ${(exact diff part).take(3)}")
+  }
+
   test("partitioned gate (shard-as-column, past-broadcast-limit path) == broadcast gate") {
     val shards = CuckooSeen.buildShards(seen, B)
     val bc = CuckooSeen.gateNotSeen(cand, shards, B)
