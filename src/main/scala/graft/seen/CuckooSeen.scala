@@ -177,7 +177,11 @@ object CuckooSeen {
       shards: Dataset[CuckooShard],
       seen: DataFrame, // col: canonical_url (exact-confirm side)
       numBuckets: Int,
-      salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+      salt: Long = BloomSeen.DefaultSalt,
+      // the probed stream is persisted (two consumers); long-lived callers
+      // (the streaming loop) register it here and unpersist after the
+      // batch materializes — the lazy result still needs it until then
+      register: Dataset[_] => Unit = _ => ()): DataFrame = {
     import graft.functions.graftfns
     val cols = candidates.columns
     val withKey = candidates
@@ -192,6 +196,7 @@ object CuckooSeen {
       // cached rows carry only a boolean extra (blob dropped first)
       .select((cols.map(col) :+ col("__hit")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(withKey)
     val negatives = withKey.filter(!col("__hit")).drop("__hit")
     val positives = withKey.filter(col("__hit")).drop("__hit")
     negatives.unionByName(ExactSeen.notSeen(positives, seen))

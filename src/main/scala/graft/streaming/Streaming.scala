@@ -90,12 +90,16 @@ object Streaming {
       budget: Int = 2,
       numPartitions: Int = 8,
       // maintained cuckoo filter: the per-batch gate probes O(batch) keys
-      // against broadcast shards instead of anti-joining the whole
+      // against the maintained shards instead of anti-joining the whole
       // accumulated seen table (O(corpus) scan per micro-batch at the
       // 10^10 regime). Exactness is preserved twice over: positives are
       // still exact-confirmed, and the store self-heals from the seen
       // table's first_batch_id lineage after any crash (ShardStore).
-      maintainedShards: Option[graft.seen.ShardStore] = None): Unit = {
+      // Gate shape auto-selects on total shard bytes: collect+broadcast
+      // below shardBroadcastLimit, co-partitioned probe past it (a
+      // 10^10-url filter is ~25 GB — not collectable).
+      maintainedShards: Option[graft.seen.ShardStore] = None,
+      shardBroadcastLimit: Long = 64L << 20): Unit = {
     import graft.canon.UrlCanon
     val fetchedT = new SnapshotTable(s"$tableRoot/fetched")
     val seenT = new SnapshotTable(s"$tableRoot/seen")
@@ -125,6 +129,7 @@ object Streaming {
           // broadcast) per micro-batch until the session dies.
           val deduped = Scheduler.dedupFrontier(robots)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val toRelease = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]](deduped)
           try {
           val unseen = seenT.read(spark) match {
             case Some(seen) => maintainedShards match {
@@ -137,9 +142,19 @@ object Streaming {
                   .readSinceBatch(spark, store.latestBatch.getOrElse(-1L))
                   .getOrElse(seen.limit(0))
                 val shards = store.heal(spark, delta, upTo)
-                graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
-                  deduped, shards, seen.select("canonical_url"),
-                  store.numBuckets, store.salt)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                toRelease += shards
+                // numBuckets rows — the sizing agg is trivial
+                val shardBytes = shards.toDF()
+                  .agg(coalesce(sum(length(col("blob"))), lit(0L))).head().getLong(0)
+                if (shardBytes <= shardBroadcastLimit)
+                  graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
+                    deduped, shards, seen.select("canonical_url"),
+                    store.numBuckets, store.salt)
+                else
+                  graft.seen.CuckooSeen.notSeenExactPartitioned(
+                    deduped, shards, seen.select("canonical_url"),
+                    store.numBuckets, store.salt, register = toRelease += _)
               case None =>
                 graft.seen.ExactSeen.notSeen(deduped, seen.select("canonical_url"))
             }
@@ -161,7 +176,7 @@ object Streaming {
                 .withColumn("first_batch_id", lit(batchId)))
             store.heal(spark, delta, batchId)
           }
-          } finally deduped.unpersist()
+          } finally toRelease.foreach(_.unpersist())
           ()
         }
       }

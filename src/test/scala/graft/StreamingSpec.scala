@@ -176,8 +176,12 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(shardRoot, "blobs").listFiles().foreach { d =>
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
     }
+    // the healed run forces the PARTITIONED gate shape (limit 0 = "shards
+    // too big to broadcast") — both gate shapes must produce the same
+    // stream output
     Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, rootB, ckptB,
-      budget = 2, numPartitions = 4, maintainedShards = Some(shards))
+      budget = 2, numPartitions = 4, maintainedShards = Some(shards),
+      shardBroadcastLimit = 0L)
 
     val a = new SnapshotTable(s"$rootA/fetched").read(spark).get
       .select("canonical_url").collect().map(_.getString(0)).toSet
