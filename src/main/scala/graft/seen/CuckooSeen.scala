@@ -86,16 +86,30 @@ object CuckooSeen {
       shards: Dataset[CuckooShard],
       numBuckets: Int,
       salt: Long = BloomSeen.DefaultSalt): DataFrame = {
+    probedStream(candidates, shards, numBuckets, salt)
+      .filter(!col("__hit"))
+      .drop("__hit")
+  }
+
+  /** Shared prelude of the co-partitioned gates: candidates keyed and
+    * joined with their shard, probed once into a `__hit` column (original
+    * candidate columns + `__hit`; join helpers dropped). __hit is never
+    * null — a missing shard (null blob) is a definite miss. */
+  private def probedStream(
+      candidates: DataFrame,
+      shards: Dataset[CuckooShard],
+      numBuckets: Int,
+      salt: Long): DataFrame = {
     import graft.functions.graftfns
-    val withKey = candidates
+    val cols = candidates.columns
+    candidates
       .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
       .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-    withKey
       .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
         Seq("__bucket"), "left")
-      .filter(col("blob").isNull ||
-        !graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
-      .drop("__bucket", "__key", "blob", "n_items")
+      .withColumn("__hit", col("blob").isNotNull &&
+        graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
+      .select((cols.map(col) :+ col("__hit")): _*)
   }
 
   /** Exact frontier-minus-seen with a cuckoo fast path (same composition
@@ -177,24 +191,17 @@ object CuckooSeen {
       shards: Dataset[CuckooShard],
       seen: DataFrame, // col: canonical_url (exact-confirm side)
       numBuckets: Int,
-      salt: Long = BloomSeen.DefaultSalt,
-      // the probed stream is persisted (two consumers); long-lived callers
-      // (the streaming loop) register it here and unpersist after the
-      // batch materializes — the lazy result still needs it until then
-      register: Dataset[_] => Unit = _ => ()): DataFrame = {
-    import graft.functions.graftfns
-    val cols = candidates.columns
-    val withKey = candidates
-      .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
-      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
-        Seq("__bucket"), "left")
-      .withColumn("__hit", col("blob").isNotNull &&
-        graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
-      // persist the POST-JOIN probe result, not the raw candidates: the
-      // two consumers below must not re-run the shuffle+probe, and the
-      // cached rows carry only a boolean extra (blob dropped first)
-      .select((cols.map(col) :+ col("__hit")): _*)
+      salt: Long,
+      // REQUIRED, no default: the probed stream is persisted (two
+      // consumers must not re-run the shuffle+probe) and the result is
+      // lazy, so only the caller knows when the cache can go. Register
+      // the dataset and unpersist it after the result materializes; a
+      // silent default here would leak one cache entry per call.
+      register: Dataset[_] => Unit): DataFrame = {
+    // persist the POST-JOIN probe result, not the raw candidates: the
+    // cached rows carry only a boolean extra (blob dropped by the
+    // prelude's projection)
+    val withKey = probedStream(candidates, shards, numBuckets, salt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(withKey)
     val negatives = withKey.filter(!col("__hit")).drop("__hit")

@@ -121,15 +121,20 @@ object Streaming {
             UrlCanon.hostOf(col("url")).as("host"),
             col("priority"), col("seed_rank"), lit(0).as("depth"))
           val robots = Scheduler.robotsFilter(canon, graft.model.Synth.robotsRules(spark).toDF())
-          // Persist the batch frontier HERE and release it at the end of
-          // the batch: the maintained gate consumes it twice (negatives ∪
-          // exact-confirm), and its internal persist() is then a no-op on
-          // the already-cached plan. Without the unpersist a long stream
-          // accumulates one cached frontier (plus its pinned shard-map
-          // broadcast) per micro-batch until the session dies.
           val deduped = Scheduler.dedupFrontier(robots)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val toRelease = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]](deduped)
+          // Per-batch caches are registered here and RELEASED in the
+          // finally — without that a long stream accumulates one cached
+          // frontier (plus its pinned shard-map broadcast) per micro-batch
+          // until the session dies. The frontier itself is pinned lazily,
+          // only on the paths that consume it more than once (the
+          // partitioned gate persists its own post-probe stream instead,
+          // so caching the raw frontier there would be a dead write).
+          val toRelease = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+          def pinnedFrontier = {
+            val p = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            toRelease += p
+            p
+          }
           try {
           val unseen = seenT.read(spark) match {
             case Some(seen) => maintainedShards match {
@@ -149,16 +154,16 @@ object Streaming {
                   .agg(coalesce(sum(length(col("blob"))), lit(0L))).head().getLong(0)
                 if (shardBytes <= shardBroadcastLimit)
                   graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
-                    deduped, shards, seen.select("canonical_url"),
+                    pinnedFrontier, shards, seen.select("canonical_url"),
                     store.numBuckets, store.salt)
                 else
                   graft.seen.CuckooSeen.notSeenExactPartitioned(
                     deduped, shards, seen.select("canonical_url"),
                     store.numBuckets, store.salt, register = toRelease += _)
               case None =>
-                graft.seen.ExactSeen.notSeen(deduped, seen.select("canonical_url"))
+                graft.seen.ExactSeen.notSeen(pinnedFrontier, seen.select("canonical_url"))
             }
-            case None => deduped
+            case None => pinnedFrontier
           }
           val ranked = Scheduler.schedule(unseen, None, budget)
           if (!fetchedDone) {

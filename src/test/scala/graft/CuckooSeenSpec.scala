@@ -75,8 +75,11 @@ class CuckooSeenSpec extends SparkSpec {
     val exact = ExactSeen.notSeen(cand, seen)
       .collect().map(_.getString(0)).toSet
     val shards = CuckooSeen.buildShards(seen, B)
-    val part = CuckooSeen.notSeenExactPartitioned(cand, shards, seen, B)
+    val pinned = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+    val part = CuckooSeen.notSeenExactPartitioned(cand, shards, seen, B,
+        graft.seen.BloomSeen.DefaultSalt, register = pinned += _)
       .collect().map(_.getString(0)).toSet
+    pinned.foreach(_.unpersist())
     assert(part == exact, s"partitioned composition diff: ${(part diff exact).take(3)} / ${(exact diff part).take(3)}")
   }
 
