@@ -187,6 +187,37 @@ object BloomSeen {
       }
   }
 
+  /** Exact frontier-minus-seen for shard sets past the broadcast limit —
+    * the cuckoo twin's composition ([[CuckooSeen.notSeenExactPartitioned]])
+    * on Bloom shards: the co-partitioned probe splits the stream in place,
+    * negatives (definitely unseen) pass, positives exact-confirm against
+    * `seen`. `register` is REQUIRED: the post-probe stream is persisted
+    * (two consumers) and only the caller knows when the lazy result has
+    * materialized and the cache can go. */
+  def notSeenExactPartitioned(
+      candidates: DataFrame,
+      shards: Dataset[BloomShard],
+      seen: DataFrame, // col: canonical_url (exact-confirm side)
+      numBuckets: Int,
+      salt: Long,
+      register: Dataset[_] => Unit): DataFrame = {
+    import graft.functions.graftfns
+    val cols = candidates.columns
+    val probed = candidates
+      .withColumn("__bucket", bucketCol(col("canonical_url"), numBuckets, salt))
+      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
+      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
+        Seq("__bucket"), "left")
+      .withColumn("__hit", col("blob").isNotNull &&
+        graftfns.bloomShardProbe(col("__bucket"), col("blob"), col("__key")))
+      .select((cols.map(col) :+ col("__hit")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(probed)
+    val negatives = probed.filter(!col("__hit")).drop("__hit")
+    val positives = probed.filter(col("__hit")).drop("__hit")
+    negatives.unionByName(ExactSeen.notSeen(positives, seen))
+  }
+
   /** Join-based gate for shard sets too big to broadcast: one shuffle
     * co-partitions candidates with their shard; the blob deserializes once
     * per (task, bucket) via the epoch-scoped bucket cache

@@ -44,6 +44,17 @@ class SeenMaintenanceSpec extends SparkSpec {
     assert(ExactSeen.alreadySeen(gated, seen).count() == 0)
   }
 
+  test("Bloom partitioned exact composition is row-equal to the exact anti join") {
+    val exact = ExactSeen.notSeen(cand, seen).collect().map(_.getString(0)).toSet
+    val shards = BloomSeen.buildShards(seen, B)
+    val pinned = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+    val part = BloomSeen.notSeenExactPartitioned(cand, shards, seen, B,
+        BloomSeen.DefaultSalt, register = pinned += _)
+      .collect().map(_.getString(0)).toSet
+    pinned.foreach(_.unpersist())
+    assert(part == exact, s"diff: ${(part diff exact).take(3)} / ${(exact diff part).take(3)}")
+  }
+
   test("untouched shards pass through byte-identical; empty buckets gain shards") {
     val tiny = seen.orderBy("canonical_url").limit(3)
     val base = BloomSeen.buildShards(tiny, B, expectedPerShard = 8192)
