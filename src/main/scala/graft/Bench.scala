@@ -141,20 +141,28 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          // strip EVERY control char plus quote/backslash — any U+0000-1F
-          // in an exception message would make the emitted line (and
-          // BENCH_LAST.json) unparseable JSON
-          errs(name) = (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("")).take(160)
-            .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            // strip EVERY control char plus quote/backslash — any U+0000-1F
+            // in an exception message would make the emitted line (and
+            // BENCH_LAST.json) unparseable JSON
+            errs(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(160)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+          }
         }
+        name -> t
       }
-      name -> t
-    }
+    // min-of-2 per query: the same least-interference estimator the
+    // frontier section uses (single-shot timings on the shared host swing
+    // with neighbor bursts; the min of two passes discards a burst that
+    // straddles either one)
+    val pass1 = timedPass()
+    val pass2 = timedPass().toMap
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     def errsJson: String =
       errs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
