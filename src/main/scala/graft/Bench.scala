@@ -224,13 +224,18 @@ object Bench {
       val shards = graft.seen.CuckooSeen.buildShards(seenM, cpus, expectedPerShard = exp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       shards.count() // the existing campaign filter — built once, untimed
-      val tRebuild = time {
+      // min-of-2, like the query section: these two jobs are the numbers
+      // BASELINE.md cites and single shots swing ~5× with neighbor bursts
+      def min2(f: => Unit): Double = math.min(time(f), time(f))
+      val tRebuild = min2 {
         graft.seen.CuckooSeen.buildShards(seenM.unionByName(batch),
           cpus, expectedPerShard = exp).map(_.n_items).reduce(_ + _)
+        ()
       }
-      val tInsert = time {
+      val tInsert = min2 {
         graft.seen.CuckooSeen.insert(shards, batch, cpus, expectedPerShard = exp)
           .map(_.n_items).reduce(_ + _)
+        ()
       }
       s"""{"seen":$nSeen,"batch":$nBatch,"rebuild_sec":$tRebuild,""" +
       s""""insert_sec":$tInsert,"shards":$cpus}"""
