@@ -100,23 +100,26 @@ object DataOpsQueries {
     }),
 
     // LSH-bucketed ANN (the 100TB scale path) on quantized vectors so the
-    // cosines are bit-identical doubles. The probe radius is sized so the
-    // probed buckets cover every true top-10 neighbor at this scale —
-    // making the output EXACTLY the brute-force top-k (same DuckDB oracle
-    // as d6); approximation quality at tighter budgets is asserted in
-    // OpsSpec.
+    // cosines are bit-identical doubles. probeHamming == planes probes the
+    // FULL Hamming ball, so equality with the brute-force DuckDB oracle is
+    // STRUCTURAL at every scale factor (probeHamming=3 left the antipodal
+    // bucket unprobed and a true top-10 neighbor landed there at sf0.1);
+    // this row proves the bucketing machinery loses nothing. Genuine
+    // sub-linear-probe ANN quality (recall ≥ 0.9 at 11% of buckets) is
+    // asserted in OpsSpec and ScaleAnnSpec, where it belongs.
     "d7_embed_ann" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir)
         .select(col("vec_id"), quantized(col("embedding")).as("embedding"))
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-          planes = 4, probeHamming = 3)
+          planes = 4, probeHamming = 4)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos6"), col("rk"))
     }),
 
-    // IVF ANN (inverted-file variant) on quantized vectors; nprobe sized so
-    // the probed lists cover the true top-10 at this scale (same brute-
-    // force DuckDB oracle). Pruned-probe recall asserted in OpsSpec.
+    // IVF ANN (inverted-file variant) on quantized vectors; nprobe ==
+    // nlist probes every inverted list, so brute-force-oracle equality is
+    // STRUCTURAL at every scale factor (the machinery row, like d7).
+    // Pruned-probe recall (4/16 lists, ≥0.9) asserted in ScaleAnnSpec.
     // Train-ONCE: centroids are a corpus property, cached per (dir, nlist)
     // — repeated invocations (bench reps, multiple query batches) reuse the
     // index instead of re-running the two training jobs.
@@ -124,7 +127,7 @@ object DataOpsQueries {
       val emb = Fixture.embeddings(s, dir)
         .select(col("vec_id"), quantized(col("embedding")).as("embedding"))
       val cents = graft.ops.Ivf.trainCached(s"$dir/embeddings:q1000", emb, nlist = 8)
-      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 7,
+      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 8, nprobe = 8,
           centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos6"), col("rk"))
