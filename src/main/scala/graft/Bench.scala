@@ -143,9 +143,11 @@ object Bench {
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var failed = false
         val t = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
+            failed = true
             // strip EVERY control char plus quote/backslash — any U+0000-1F
             // in an exception message would make the emitted line (and
             // BENCH_LAST.json) unparseable JSON
@@ -154,7 +156,12 @@ object Bench {
               .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
           }
         }
-        name -> t
+        // an errored pass contributes +inf, not its fast-fail wall time:
+        // min-of-2 must only combine SUCCESSFUL runs, else a broken query
+        // benches ~0s and silently flatters the total (its error is
+        // recorded either way; a query broken in both passes is excluded
+        // from `queries`/total below and shows only in query_errors)
+        name -> (if (failed) Double.PositiveInfinity else t)
       }
     // min-of-2 per query: the same least-interference estimator the
     // frontier section uses (single-shot timings on the shared host swing
@@ -162,7 +169,9 @@ object Bench {
     // straddles either one)
     val pass1 = timedPass()
     val pass2 = timedPass().toMap
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results = pass1
+      .map { case (k, v) => k -> math.min(v, pass2(k)) }
+      .filter(_._2.isFinite)
     def errsJson: String =
       errs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
@@ -192,6 +201,24 @@ object Bench {
     val mSnap = listener.snapshot
     listener.unregister()
 
+    // -- 10x-frontier pressure rep: ONE rep at 10× the headline frontier
+    // against the SAME fixture (store covers ~10% of urls — the miss-heavy
+    // posture of a young crawl), so the banded scheduler, salted gate and
+    // dense-batch-id loop run together well above the 8M rows any single
+    // prior run exercised. Opt-out: SPARK_GRAFT_FRONTIER10X=0.
+    val frontier10x =
+      if (sys.env.get("SPARK_GRAFT_FRONTIER10X").contains("0")) "null"
+      else {
+        val l10 = graft.metrics.Metrics.register(spark, logEveryTasks = 0)
+        val (ups10, fetched10) = frontierRun(spark, benchUrls * 10, cpus, fxMain)
+        val s10 = l10.snapshot
+        l10.unregister()
+        s"""{"urls":${benchUrls * 10},"fetched":$fetched10,"urls_per_sec":${ups10.round},""" +
+        s""""tasks":${s10.tasks},"records_read":${s10.recordsRead},""" +
+        s""""shuffle_records":${s10.shuffleRecordsRead},""" +
+        s""""shuffle_bytes_written":${s10.shuffleBytesWritten}}"""
+      }
+
     // -- maintained-filter evidence: per-batch maintenance cost -----------
     // The scale claim behind CuckooSeen.insert/ShardStore: folding a crawl
     // batch into an EXISTING filter is O(batch + touched-shard bytes);
@@ -200,7 +227,7 @@ object Bench {
     // seen ∪ batch; insert_sec cogroups only the batch's keys with their
     // shards. The ratio grows linearly with corpus/batch (here ~5:1; at
     // the 10^10-url regime with 10^6-url batches it is ~10^4:1).
-    val maintenance = {
+    val (maintenance, gateShapes) = {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       import graft.canon.UrlCanon
@@ -237,8 +264,62 @@ object Bench {
           .map(_.n_items).reduce(_ + _)
         ()
       }
-      s"""{"seen":$nSeen,"batch":$nBatch,"rebuild_sec":$tRebuild,""" +
-      s""""insert_sec":$tInsert,"shards":$cpus}"""
+      val maintJson =
+        s"""{"seen":$nSeen,"batch":$nBatch,"rebuild_sec":$tRebuild,""" +
+        s""""insert_sec":$tInsert,"shards":$cpus}"""
+
+      // -- gate shapes: the 10^10-posture plans, TIMED (verdict r3 #2) ----
+      // Same prebuilt shard set + seen corpus as the maintenance section;
+      // candidates are a 50/50 new/seen mix at benchUrls/2. Three shapes:
+      //  - broadcast: collect+broadcast the shards, codegen probe, exact
+      //    confirm (the steady-state gate below shardBroadcastLimit);
+      //  - partitioned: the past-broadcast-limit plan — one shuffle
+      //    co-partitions candidates with their shard, per-(epoch,bucket)
+      //    cached deserialization (notSeenExactPartitioned, invoked
+      //    DIRECTLY, i.e. as if total shard bytes exceeded the limit);
+      //  - maintained_probe: broadcast gate where the shards are READ BACK
+      //    from a ShardStore version (parquet) rather than taken from
+      //    memory — the steady state of the micro-batch crawl loop.
+      // All three are row-equal by construction (CuckooSeenSpec asserts it
+      // at spec scale); the emitted counts re-check that here at bench
+      // scale.
+      val gq = benchUrls / 4
+      val candGate = spark.range(benchUrls * 2, benchUrls * 2 + gq)
+        .map((i: java.lang.Long) => Synth.seedUrlOf(i)).toDF("url")
+        .union(spark.range(0, gq).map((i: java.lang.Long) => Synth.seedUrlOf(i)).toDF("url"))
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = candGate.count()
+      val shardBytes = shards.toDF()
+        .agg(coalesce(sum(length(col("blob"))), lit(0L))).head().getLong(0)
+      var rowsBroadcast = 0L
+      var rowsPartitioned = 0L
+      var rowsMaintained = 0L
+      val tBroadcast = min2 {
+        rowsBroadcast = graft.seen.CuckooSeen
+          .notSeenExactWithPrebuilt(candGate, shards, seenM, cpus).count()
+      }
+      val tPartitioned = min2 {
+        val toRelease = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+        rowsPartitioned = graft.seen.CuckooSeen.notSeenExactPartitioned(
+          candGate, shards, seenM, cpus, graft.seen.BloomSeen.DefaultSalt,
+          register = toRelease += _).count()
+        toRelease.foreach(_.unpersist())
+      }
+      val storeDir = java.nio.file.Files.createTempDirectory("gate-store").toString
+      val sStore = new graft.seen.ShardStore(storeDir, cpus, expectedPerShard = exp)
+      sStore.heal(spark, seenM.withColumn("first_batch_id", lit(0L)), upTo = 0L).count()
+      val tMaintained = min2 {
+        rowsMaintained = graft.seen.CuckooSeen.notSeenExactWithPrebuilt(
+          candGate, sStore.current(spark), seenM, cpus).count()
+      }
+      candGate.unpersist()
+      val gateJson =
+        s"""{"candidates":$nCand,"seen":$nSeen,"shards":$cpus,"shard_bytes":$shardBytes,""" +
+        s""""broadcast_sec":$tBroadcast,"partitioned_sec":$tPartitioned,""" +
+        s""""maintained_probe_sec":$tMaintained,"rows_broadcast":$rowsBroadcast,""" +
+        s""""rows_partitioned":$rowsPartitioned,"rows_maintained":$rowsMaintained}"""
+      (maintJson, gateJson)
     }
     spark.stop()
 
@@ -251,9 +332,23 @@ object Bench {
     // measure the ENGINE's scaling (the north rule allows "N and 4N
     // cores"). The chosen N and the external loadavg sampled around every
     // run are reported in the JSON for transparency.
-    def loadavg(): Double =
+    def loadavgFields(): Array[String] =
       scala.util.Try(java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble).getOrElse(-1.0)
+        .trim.split(" ")).getOrElse(Array.empty)
+    def loadavg(): Double =
+      loadavgFields().headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+    // Instantaneous external pressure: the running-thread count from
+    // /proc/loadavg's 4th field, minus ourselves. Unlike the 1-minute
+    // average it does NOT carry the decaying shadow of OUR OWN just-
+    // finished rep, so it can gate the next rep without waiting out our
+    // own load. Sampled 3× over ~2s, min taken: we are idle while
+    // sampling, so a floor above the gate is sustained NEIGHBOR load
+    // (what starves a wide level), not a scheduler blip.
+    def runnableNow(): Int =
+      loadavgFields().lift(3).flatMap(f =>
+        scala.util.Try(f.split("/")(0).toInt).toOption).map(n => math.max(n - 1, 0)).getOrElse(-1)
+    def externalBusy(): Int =
+      (1 to 3).map { _ => Thread.sleep(700); runnableNow() }.min
     // Work per measured run is the biggest lever on measured efficiency:
     // constant driver-side overhead C (planning, session job setup) dilutes
     // the fast level — eff = (W/N + C) / (W/N + 4C) for core-seconds W —
@@ -268,23 +363,47 @@ object Bench {
     var thrN = 0.0
     var thr4N = 0.0
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    val runnables = scala.collection.mutable.ArrayBuffer[Int]()
     // max-of-reps per level estimates each level's interference-free
     // throughput; short alternating pairs give both levels several chances
     // at a quiet window on the shared host. The loop is wall-clock-bounded
     // (SPARK_GRAFT_SCALE_BUDGET_S) so the driver's bench invocation can
     // never time out with no JSON emitted: at least one pair always runs.
+    //
+    // NOISE GATE (the round-3 driver artifact missed 0.8 purely under a
+    // loadavg-10.5 neighbor burst): before each measured rep, wait — up to
+    // a per-rep cap, never past the deadline — for the instantaneous
+    // external runnable count to drop to <= SPARK_GRAFT_SCALE_LOADGATE.
+    // Waiting happens with NO session running, so the samples see only
+    // neighbors. A rep may still start busy after the cap (progress is
+    // guaranteed); max-of-reps then discards it unless it was the best
+    // anyway. Every rep's gate-exit runnable count and 1-min loadavg are
+    // published in the JSON.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOADGATE", "4").toInt
     val scaleDeadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "360").toLong * 1000000000L
+    def awaitQuiet(maxWaitNs: Long): Unit = {
+      val t0 = System.nanoTime()
+      var b = externalBusy()
+      while (b > loadGate && System.nanoTime() - t0 < maxWaitNs &&
+             System.nanoTime() < scaleDeadline) {
+        Thread.sleep(8000)
+        b = externalBusy()
+      }
+      runnables += b
+      loads += loadavg()
+    }
+    val repWaitNs = 45L * 1000000000L
     var rep = 1
     while (rep == 1 || (rep <= 6 && System.nanoTime() < scaleDeadline)) {
       val sA = mkSession(scaleN, scaleParts)
       if (rep == 1) frontierRun(sA, scaleUrls / 20, scaleParts, fxScale) // warm-up
-      loads += loadavg()
+      awaitQuiet(repWaitNs)
       thrN = math.max(thrN, frontierRun(sA, scaleUrls, scaleParts, fxScale)._1)
       sA.stop()
       val sB = mkSession(scaleN * 4, scaleParts)
       if (rep == 1) frontierRun(sB, scaleUrls / 20, scaleParts, fxScale)
-      loads += loadavg()
+      awaitQuiet(repWaitNs)
       thr4N = math.max(thr4N, frontierRun(sB, scaleUrls, scaleParts, fxScale)._1)
       sB.stop()
       rep += 1
@@ -299,9 +418,11 @@ object Bench {
       s""""shuffle_records":${mSnap.shuffleRecordsRead}}"""
     val scaling =
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
-      s""""efficiency":${f"$efficiency%.3f"},"external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
+      s""""efficiency":${f"$efficiency%.3f"},"load_gate":$loadGate,""" +
+      s""""external_runnable":[${runnables.mkString(",")}],""" +
+      s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"scaling":$scaling,"maintenance":$maintenance}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

@@ -226,32 +226,44 @@ object GraftExprHelpers {
   // The bucket id is copy-stable; the epoch (unique per gate invocation)
   // prevents a pooled task thread from serving a STALE filter when the
   // same bucket's shard changes between queries (e.g. after insert()).
-  private val epochGen = new java.util.concurrent.atomic.AtomicLong()
+  //
+  // SINGLE-ENTRY per thread, deliberately: the co-partitioned gate's join
+  // emits rows clustered by __bucket (the exchange/sort-merge on the
+  // bucket key), so a last-(epoch,bucket) cache has the same hit rate as
+  // a map — but O(1) retained memory. A per-thread map would accumulate
+  // every bucket a pooled executor thread ever probes (threads outlive
+  // tasks), approaching the TOTAL shard-set size per JVM in exactly the
+  // ~25 GB regime the partitioned gate exists for.
+  //
+  // The epoch generator is seeded randomly per JVM: gate epochs travel to
+  // executors inside the serialized expression, and a restarted driver
+  // counting again from 0 could otherwise alias a long-lived executor
+  // thread's cached (epoch,bucket) from the previous driver — a stale
+  // filter silently mis-gating. Random seeding makes cross-JVM collision
+  // a 2^-64 event instead of a certainty.
+  private val epochGen = new java.util.concurrent.atomic.AtomicLong(
+    new java.security.SecureRandom().nextLong())
   def nextGateEpoch(): Long = epochGen.incrementAndGet()
 
-  private val bloomShardCache =
-    new ThreadLocal[(Long, java.util.HashMap[Integer, Bloom])]()
+  private val bloomShardCache = new ThreadLocal[(Long, Int, Bloom)]()
   def bloomProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
-    var c = bloomShardCache.get()
-    if (c == null || c._1 != epoch) {
-      c = (epoch, new java.util.HashMap[Integer, Bloom]())
-      bloomShardCache.set(c)
+    val c = bloomShardCache.get()
+    val f = if (c != null && c._1 == epoch && c._2 == bucket) c._3 else {
+      val nf = Bloom.deserialize(blob)
+      bloomShardCache.set((epoch, bucket, nf))
+      nf
     }
-    var f = c._2.get(Integer.valueOf(bucket))
-    if (f == null) { f = Bloom.deserialize(blob); c._2.put(Integer.valueOf(bucket), f) }
     f.mightContain(key)
   }
 
-  private val cuckooShardCache =
-    new ThreadLocal[(Long, java.util.HashMap[Integer, graft.seen.Cuckoo])]()
+  private val cuckooShardCache = new ThreadLocal[(Long, Int, graft.seen.Cuckoo)]()
   def cuckooProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
-    var c = cuckooShardCache.get()
-    if (c == null || c._1 != epoch) {
-      c = (epoch, new java.util.HashMap[Integer, graft.seen.Cuckoo]())
-      cuckooShardCache.set(c)
+    val c = cuckooShardCache.get()
+    val f = if (c != null && c._1 == epoch && c._2 == bucket) c._3 else {
+      val nf = graft.seen.Cuckoo.deserialize(blob)
+      cuckooShardCache.set((epoch, bucket, nf))
+      nf
     }
-    var f = c._2.get(Integer.valueOf(bucket))
-    if (f == null) { f = graft.seen.Cuckoo.deserialize(blob); c._2.put(Integer.valueOf(bucket), f) }
     f.mightContain(key)
   }
 }

@@ -52,6 +52,20 @@ object Streaming {
     * Determinism: within a batch, grants go to the lexicographically
     * smallest canonical urls (state stores only counters, so admission
     * must not depend on arrival order).
+    *
+    * Memory: O(budgetPerBatch) per host group, NOT O(group). A Zipf-hot
+    * host's slice of a 10^10-regime micro-batch can be ~20% of the batch;
+    * sorting it in one task's heap is the same all-in-one-task shape
+    * `Scheduler.scheduleBanded` exists to kill. Instead a single pass
+    * keeps a size-budget max-heap of the smallest urls seen so far and
+    * STREAMS each deferral out the moment it is decided: once the heap is
+    * full, whichever of (incoming url, heap max) is larger provably isn't
+    * among the batch's budget smallest — and every deferred row's
+    * `host_total_granted` is `base + budget` exactly (deferrals exist only
+    * when the group exceeds the budget). Grant decisions follow once the
+    * input is exhausted. The state update rides the tail of the returned
+    * iterator — legal because `FlatMapGroupsWithStateExec` commits group
+    * state via a completion iterator AFTER the output is drained.
     */
   def statefulHostLimiter(
       candidates: org.apache.spark.sql.Dataset[(String, String)], // (host, canonical_url)
@@ -63,14 +77,47 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (host: String, rows: Iterator[(String, String)], state: GroupState[HostState]) => {
           val st = state.getOption.getOrElse(HostState(0L, 0L))
-          val urls = rows.map(_._2).toVector.sorted
-          val granted = urls.take(budgetPerBatch)
-          val deferred = urls.drop(budgetPerBatch)
-          state.update(HostState(st.granted + granted.size, st.deferred + deferred.size))
           val base = st.granted
-          granted.zipWithIndex.iterator.map { case (u, i) =>
-            GrantDecision(host, u, granted = true, base + i + 1)
-          } ++ deferred.iterator.map(u => GrantDecision(host, u, granted = false, base + granted.size))
+          val k = math.max(budgetPerBatch, 0)
+          // max-heap of the k lexicographically-smallest urls so far
+          val heap = new java.util.PriorityQueue[String](
+            math.max(k, 1), java.util.Collections.reverseOrder[String]())
+          var deferredN = 0L
+          val deferred: Iterator[GrantDecision] = rows.flatMap { case (_, u) =>
+            if (k == 0) {
+              deferredN += 1
+              Iterator.single(GrantDecision(host, u, granted = false, base))
+            } else if (heap.size < k) {
+              heap.add(u); Iterator.empty
+            } else {
+              // ties defer the incoming url — same multiset of grants as
+              // sorted.take(k) (k smallest with multiplicity)
+              val out = if (u.compareTo(heap.peek) < 0) {
+                val ev = heap.poll(); heap.add(u); ev
+              } else u
+              deferredN += 1
+              Iterator.single(GrantDecision(host, out, granted = false, base + k))
+            }
+          }
+          val granted: Iterator[GrantDecision] = new Iterator[GrantDecision] {
+            private var inner: Iterator[GrantDecision] = null
+            private def it: Iterator[GrantDecision] = {
+              if (inner == null) {
+                // drain the max-heap (descending) into ascending order
+                val g = new Array[String](heap.size)
+                var i = g.length - 1
+                while (i >= 0) { g(i) = heap.poll(); i -= 1 }
+                state.update(HostState(base + g.length, st.deferred + deferredN))
+                inner = g.iterator.zipWithIndex.map { case (u, j) =>
+                  GrantDecision(host, u, granted = true, base + j + 1)
+                }
+              }
+              inner
+            }
+            def hasNext: Boolean = it.hasNext
+            def next(): GrantDecision = it.next()
+          }
+          deferred ++ granted
         })
   }
 
@@ -136,10 +183,19 @@ object Streaming {
             p
           }
           try {
+          // The maintained-filter path is exact ONLY against a fully keyed
+          // commit chain: an unkeyed (batchId=-1) commit is invisible to
+          // readSinceBatch's lineage pruning, so its urls would never enter
+          // the filter and would pass the gate as "definitely unseen".
+          // (Also guards the .max on an empty keyed-id set — a seen table
+          // holding only unkeyed commits.) Fall back to the exact anti
+          // join, which reads the full table and misses nothing.
+          val keyedIds = seenT.committedBatchIds
+          val chainKeyed = keyedIds.nonEmpty && !seenT.hasUnkeyedCommits
           val unseen = seenT.read(spark) match {
             case Some(seen) => maintainedShards match {
-              case Some(store) =>
-                val upTo = seenT.committedBatchIds.max
+              case Some(store) if chainKeyed =>
+                val upTo = keyedIds.max
                 // heal input is LINEAGE-PRUNED: only commits newer than the
                 // store's last good version are read (manifest walk, not a
                 // full seen-table scan — the delta is O(missed batches))
@@ -160,7 +216,7 @@ object Streaming {
                   graft.seen.CuckooSeen.notSeenExactPartitioned(
                     deduped, shards, seen.select("canonical_url"),
                     store.numBuckets, store.salt, register = toRelease += _)
-              case None =>
+              case _ =>
                 graft.seen.ExactSeen.notSeen(pinnedFrontier, seen.select("canonical_url"))
             }
             case None => pinnedFrontier
@@ -173,8 +229,12 @@ object Streaming {
           seenT.commit(ranked.select(col("canonical_url"), lit(batchId).as("first_batch_id")),
             batchId = batchId)
           // advance the maintained filter through this batch; a crash
-          // before this line is healed by the next batch's heal() call
-          maintainedShards.foreach { store =>
+          // before this line is healed by the next batch's heal() call.
+          // Skipped over a chain with unkeyed commits: advancing would mark
+          // the store current while its filter permanently misses the
+          // unkeyed rows (which no later heal can see) — leave latestBatch
+          // behind so the gate keeps taking the exact path above.
+          if (!seenT.hasUnkeyedCommits) maintainedShards.foreach { store =>
             val delta = seenT
               .readSinceBatch(spark, store.latestBatch.getOrElse(-1L))
               .getOrElse(ranked.select("canonical_url").limit(0)

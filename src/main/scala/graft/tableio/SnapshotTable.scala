@@ -89,6 +89,15 @@ final class SnapshotTable(val root: String) {
   def committedBatchIds: Set[Long] =
     headId.map(id => chain(id).map(_.batchId).filter(_ >= 0).toSet).getOrElse(Set.empty)
 
+  /** True if any commit on the HEAD chain is UNKEYED (batchId = -1).
+    * Unkeyed rows are invisible to [[readSinceBatch]]'s lineage pruning
+    * (their batchId compares below every `afterBatch`), so a maintained
+    * seen-filter healed from this chain would silently miss them — callers
+    * on the maintained path must check this and fall back to the exact
+    * gate (see [[graft.streaming.Streaming.runCrawlStream]]). */
+  def hasUnkeyedCommits: Boolean =
+    headId.exists(id => chain(id).exists(_.batchId < 0))
+
   // ------------------------------------------------------------ writes --
 
   /** Append `df` as a new snapshot. Skips (returning the existing head) if

@@ -27,6 +27,22 @@ class CuckooSeenSpec extends SparkSpec {
     assert(fast == exact, s"fast-path diff: ${(fast diff exact).take(3)} / ${(exact diff fast).take(3)}")
   }
 
+  test("memoized cached gate (c22's steady-state shape) is row-equal to exact; build runs once per corpus tag") {
+    val exact = ExactSeen.notSeen(cand, seen).collect().map(_.getString(0)).toSet
+    val tag = "spec-corpus-" + System.nanoTime() // fresh memo key per run
+    val a = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B)
+      .collect().map(_.getString(0)).toSet
+    assert(a == exact, s"cached gate diff: ${(a diff exact).take(3)} / ${(exact diff a).take(3)}")
+    // the per-JVM memo returns the SAME blob map on a second call — even
+    // with a different (here: empty) seen input, proving no rebuild runs
+    val m1 = CuckooSeen.shardsCached(tag, seen, B)
+    val m2 = CuckooSeen.shardsCached(tag, seen.limit(0), B)
+    assert(m1 eq m2, "second shardsCached call rebuilt instead of hitting the memo")
+    val b = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B)
+      .collect().map(_.getString(0)).toSet
+    assert(b == exact)
+  }
+
   test("gate alone passes no seen url (no false negatives) and nearly all unseen") {
     val shards = CuckooSeen.buildShards(seen, B)
     val gated = CuckooSeen.gateNotSeen(cand, shards, B)

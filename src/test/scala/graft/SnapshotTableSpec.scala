@@ -30,6 +30,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.committedBatchIds == Set(7L))
   }
 
+  test("hasUnkeyedCommits flags batchId=-1 commits (maintained-filter guard)") {
+    import spark.implicits._
+    val t = tmpTable()
+    assert(!t.hasUnkeyedCommits, "empty table must not flag")
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 0)
+    assert(!t.hasUnkeyedCommits, "fully keyed chain must not flag")
+    t.commit(Seq((2, "b")).toDF("id", "v")) // unkeyed
+    assert(t.hasUnkeyedCommits,
+      "unkeyed commit is invisible to readSinceBatch — must be flagged")
+    // committedBatchIds stays empty-safe alongside it (the .max guard)
+    val t2 = tmpTable()
+    t2.commit(Seq((1, "a")).toDF("id", "v")) // ONLY unkeyed commits
+    assert(t2.committedBatchIds.isEmpty && t2.hasUnkeyedCommits)
+  }
+
   test("time-travel read sees the table as of an older snapshot") {
     import spark.implicits._
     val t = tmpTable()

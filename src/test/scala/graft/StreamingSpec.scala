@@ -104,6 +104,73 @@ class StreamingSpec extends SparkSpec {
     assert(h0b2.filter(_.granted).map(_.host_total_granted).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("stateful host limiter on a mass-skewed host matches sorted-take semantics (bounded-heap path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = Streaming.statefulHostLimiter(input.toDS(), budgetPerBatch = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("limiter_skew").start()
+    // one Zipf-hot host owning 5000 urls of the batch (the shape that made
+    // the old toVector.sorted hold a whole batch slice in one task), urls
+    // arriving in REVERSE lexicographic order, plus one cold host
+    val hot = (4999 to 0 by -1).map(i => ("hot", f"u$i%05d"))
+    input.addData(hot :+ (("cold", "c1")): _*)
+    q.processAllAvailable()
+    // second batch: grant counter carries across batches
+    input.addData(("hot", "a0"), ("hot", "z9"))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("limiter_skew").as[Streaming.GrantDecision].collect()
+    val b1hot = rows.filter(r => r.host == "hot" && r.canonical_url.startsWith("u"))
+    assert(b1hot.length == 5000, "every url must get a decision row")
+    assert(b1hot.count(_.granted) == 3)
+    assert(b1hot.filter(_.granted).map(_.canonical_url).sorted.toSeq ==
+      Seq("u00000", "u00001", "u00002"),
+      "grants must be the lexicographically smallest urls regardless of arrival order")
+    assert(b1hot.filter(_.granted).map(_.host_total_granted).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(b1hot.filter(!_.granted).forall(_.host_total_granted == 3L))
+    assert(rows.find(_.canonical_url == "c1").exists(_.granted))
+    val b2 = rows.filter(r => Set("a0", "z9")(r.canonical_url))
+    assert(b2.forall(_.granted) && b2.map(_.host_total_granted).sorted.toSeq == Seq(4L, 5L))
+  }
+
+  test("maintained gate falls back to exact over a seen chain with unkeyed commits") {
+    import graft.seen.ShardStore
+    import org.apache.spark.sql.functions.lit
+    val n = 200L
+    val seedsDir = Files.createTempDirectory("seeds-u").toString
+    val root = Files.createTempDirectory("streamcrawl-u").toString
+    val ckpt = Files.createTempDirectory("ckpt-u").toString
+    val shardRoot = Files.createTempDirectory("shardstore-u").toString
+    Synth.seedList(spark, n, 2).toDF().write.parquet(s"$seedsDir/seeds")
+    val schema = spark.read.parquet(s"$seedsDir/seeds").schema
+    val store = Synth.imageDocs(spark, n, 4).toDF()
+    // pre-seed the seen table with an UNKEYED commit (batchId=-1) marking
+    // half the seeds already seen — e.g. a backfill written outside the
+    // streaming loop. Those rows are invisible to readSinceBatch lineage,
+    // so the maintained filter could never learn them; the gate must
+    // detect the poisoned chain and take the exact path.
+    val pre = Synth.seedList(spark, n, 2).toDF()
+      .filter(col("seed_rank") < n / 2)
+      .select(graft.canon.UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+      .withColumn("first_batch_id", lit(-1L))
+    new SnapshotTable(s"$root/seen").commit(pre) // unkeyed
+    Streaming.runCrawlStream(spark, s"$seedsDir/seeds", schema, store, root, ckpt,
+      budget = 2, numPartitions = 4,
+      maintainedShards = Some(new ShardStore(shardRoot, numBuckets = 4, expectedPerShard = 4096)))
+    val fetched = new SnapshotTable(s"$root/fetched").read(spark).get
+    assert(fetched.count() > 0)
+    // exactness held: no pre-seen url was crawled
+    assert(fetched.join(pre.select("canonical_url"), Seq("canonical_url"), "left_semi").count() == 0,
+      "a url from the unkeyed commit slipped past the gate")
+    // and the store did NOT advance over the poisoned chain (advancing
+    // would mark it current while permanently missing the unkeyed rows)
+    assert(new ShardStore(shardRoot, numBuckets = 4).latestBatch.isEmpty,
+      "maintained store advanced despite unkeyed commits on the chain")
+  }
+
   test("crawl stream drains seed files via foreachBatch and resumes idempotently") {
     import spark.implicits._
     val n = 300L
