@@ -49,7 +49,18 @@ object GraftExtensions {
     ("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays",
       args => DotExpr(args.head, args(1))),
     ("robots_verdict", "robots_verdict(url, rules) - longest-prefix robots verdict (NULL = no rule matches)",
-      args => RobotsVerdictExpr(args.head, args(1))))
+      args => RobotsVerdictExpr(args.head, args(1))),
+    ("hyperplane_sig", "hyperplane_sig(vec, planes) - packed sign-bit LSH signature of a numeric vector against deterministic hyperplanes",
+      args => HyperplaneSigExpr(args.head, litInt(args(1)))),
+    ("canonical_url", "canonical_url(url) - crawl-canonical form of a url (scheme/host lowering, default port, dot-segments, tracking params, fragment)",
+      args => CanonicalUrlExpr(args.head)),
+    ("host_of", "host_of(url) - lowercased host component of a url",
+      args => HostOfExpr(args.head)))
+  // Not SQL-registered, by design: the broadcast probes (BloomProbeExpr/
+  // CuckooProbeExpr) close over a Broadcast handle and the shard-as-column
+  // probes carry a gate epoch — both are plan-construction artifacts with
+  // no sensible SQL literal form; nearest_cluster takes a centroid matrix
+  // (driver state). Use the typed graftfns/gate entry points for those.
 
   /** Foldable-int argument for SQL-facing parameterized kernels. */
   private def litInt(e: Expression): Int = e.eval(null) match {

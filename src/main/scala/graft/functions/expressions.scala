@@ -219,60 +219,19 @@ object GraftExprHelpers {
     f.mightContain(key)
   }
 
-  // Partitioned-gate caches, keyed by (gate epoch, shard bucket). The
-  // identity caches above NEVER hit on a joined-in blob column — each
-  // row's UnsafeRow.getBinary is a fresh copy — which re-deserializes the
-  // whole shard per candidate row (the repo's documented blob-copy trap).
-  // The bucket id is copy-stable; the epoch (unique per gate invocation)
-  // prevents a pooled task thread from serving a STALE filter when the
-  // same bucket's shard changes between queries (e.g. after insert()).
-  //
-  // SINGLE-ENTRY per thread, deliberately: the co-partitioned gate's join
-  // emits rows clustered by __bucket (the exchange/sort-merge on the
-  // bucket key), so a last-(epoch,bucket) cache has the same hit rate as
-  // a map — but O(1) retained memory. A per-thread map would accumulate
-  // every bucket a pooled executor thread ever probes (threads outlive
-  // tasks), approaching the TOTAL shard-set size per JVM in exactly the
-  // ~25 GB regime the partitioned gate exists for.
-  //
-  // The epoch generator is seeded randomly per JVM: gate epochs travel to
-  // executors inside the serialized expression, and a restarted driver
-  // counting again from 0 could otherwise alias a long-lived executor
-  // thread's cached (epoch,bucket) from the previous driver — a stale
-  // filter silently mis-gating. Random seeding makes cross-JVM collision
-  // a 2^-64 event instead of a certainty.
-  private val epochGen = new java.util.concurrent.atomic.AtomicLong(
-    new java.security.SecureRandom().nextLong())
-  def nextGateEpoch(): Long = epochGen.incrementAndGet()
-
-  private val bloomShardCache = new ThreadLocal[(Long, Int, Bloom)]()
-  def bloomProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
-    val c = bloomShardCache.get()
-    val f = if (c != null && c._1 == epoch && c._2 == bucket) c._3 else {
-      val nf = Bloom.deserialize(blob)
-      bloomShardCache.set((epoch, bucket, nf))
-      nf
-    }
-    f.mightContain(key)
-  }
-
-  private val cuckooShardCache = new ThreadLocal[(Long, Int, graft.seen.Cuckoo)]()
-  def cuckooProbeBucketCached(epoch: Long, bucket: Int, blob: Array[Byte], key: Long): Boolean = {
-    val c = cuckooShardCache.get()
-    val f = if (c != null && c._1 == epoch && c._2 == bucket) c._3 else {
-      val nf = graft.seen.Cuckoo.deserialize(blob)
-      cuckooShardCache.set((epoch, bucket, nf))
-      nf
-    }
-    f.mightContain(key)
-  }
+  // NOTE (history, rounds 2-4): the partitioned gates once joined the
+  // shard blob onto every candidate row and probed via (epoch, bucket)-
+  // keyed ThreadLocal deserialization caches here. The caches fixed the
+  // re-deserialization but not the underlying per-row `getBinary` COPY of
+  // the joined-in ~0.5 MB blob, which dominated end to end; the gates now
+  // COGROUP candidates with their shard instead (CuckooSeen/BloomSeen
+  // `probedStream`), so blobs never enter the candidate stream and the
+  // whole epoch/cache apparatus became unnecessary and was removed.
 }
 
-/** cuckoo_might_contain(blob, key): shard-as-column probe for the
-  * partitioned cuckoo gate ([[graft.seen.CuckooSeen.gateNotSeenPartitioned]]
-  * — shard sets past the broadcast limit co-partition with candidates and
-  * each task streams its one shard; same per-task identity-cached
-  * deserialization as the Bloom twin). */
+/** cuckoo_might_contain(blob, key): SQL-callable cuckoo shard probe with
+  * per-task identity-cached deserialization (same contract as the Bloom
+  * twin — the cache hits when one literal/broadcast blob spans many rows). */
 case class CuckooMightContainExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -286,47 +245,6 @@ case class CuckooMightContainExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CuckooMightContainExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cuckoo_might_contain"
-}
-
-/** Shard-probe for the PARTITIONED gates: (bucket, blob, key) with the
-  * per-(epoch, bucket) thread cache — one deserialization per (task,
-  * bucket), correct across shard updates (see GraftExprHelpers). */
-case class BloomShardProbeExpr(first: Expression, second: Expression, third: Expression,
-    epoch: Long)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (first.dataType == IntegerType && second.dataType == BinaryType && third.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT, BINARY, BIGINT)")
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(b: Any, blob: Any, k: Any): Any =
-    GraftExprHelpers.bloomProbeBucketCached(epoch, b.asInstanceOf[Int],
-      blob.asInstanceOf[Array[Byte]], k.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (b, blob, k) =>
-      s"graft.functions.GraftExprHelpers.bloomProbeBucketCached(${epoch}L, $b, $blob, $k)")
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): BloomShardProbeExpr =
-    copy(first = f, second = s, third = t)
-  override def prettyName: String = "bloom_shard_probe"
-}
-
-case class CuckooShardProbeExpr(first: Expression, second: Expression, third: Expression,
-    epoch: Long)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (first.dataType == IntegerType && second.dataType == BinaryType && third.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (INT, BINARY, BIGINT)")
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(b: Any, blob: Any, k: Any): Any =
-    GraftExprHelpers.cuckooProbeBucketCached(epoch, b.asInstanceOf[Int],
-      blob.asInstanceOf[Array[Byte]], k.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (b, blob, k) =>
-      s"graft.functions.GraftExprHelpers.cuckooProbeBucketCached(${epoch}L, $b, $blob, $k)")
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): CuckooShardProbeExpr =
-    copy(first = f, second = s, third = t)
-  override def prettyName: String = "cuckoo_shard_probe"
 }
 
 /** minhash_buckets(shingles, numBands, rowsPerBand): per-band LSH bucket
@@ -492,12 +410,6 @@ object graftfns {
     Bridge.column(BloomMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def cuckooMightContain(blob: Column, key: Column): Column =
     Bridge.column(CuckooMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
-  def bloomShardProbe(bucket: Column, blob: Column, key: Column): Column =
-    Bridge.column(BloomShardProbeExpr(Bridge.expression(bucket), Bridge.expression(blob),
-      Bridge.expression(key), GraftExprHelpers.nextGateEpoch()))
-  def cuckooShardProbe(bucket: Column, blob: Column, key: Column): Column =
-    Bridge.column(CuckooShardProbeExpr(Bridge.expression(bucket), Bridge.expression(blob),
-      Bridge.expression(key), GraftExprHelpers.nextGateEpoch()))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
   def shingles(toks: Column, k: Int): Column =

@@ -79,8 +79,28 @@ object Fixture {
     * even-orderkey half of the frontier. Since seed_rank = orderkey*8 +
     * linenumber with linenumber in 1..7, `seed_rank % 16 < 8` ⇔ even
     * orderkey — integer-only arithmetic, identical in Spark and DuckDB
-    * (float division rounds differently between the two engines). */
-  def seenSet(spark: SparkSession, dir: String): DataFrame = {
+    * (float division rounds differently between the two engines).
+    *
+    * PERSISTED once per (session, dir): the seen set is CAMPAIGN STATE —
+    * in production it is a materialized table every gate reads, not a
+    * derivation re-run per query. c3/c4/c22 each consume it (some twice,
+    * via the exact-confirm branch), and its distinct() is a full shuffle;
+    * deriving it per consumer would bench the fixture, not the gate.
+    * (Through round 3 this caching happened by ACCIDENT — c22's fast path
+    * persisted its seen input and ran first alphabetically; making it
+    * explicit keeps the benched shape when c22's build is memoized.)
+    * WeakHashMap on the session so stopped sessions release their entry. */
+  private val seenCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  def seenSet(spark: SparkSession, dir: String): DataFrame = seenCache.synchronized {
+    var per = seenCache.get(spark)
+    if (per == null) { per = scala.collection.mutable.Map(); seenCache.put(spark, per) }
+    per.getOrElseUpdate(dir, seenSetUncached(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def seenSetUncached(spark: SparkSession, dir: String): DataFrame = {
     import graft.canon.UrlCanon
     frontier(spark, dir)
       .filter(col("seed_rank") % 16 < 8)

@@ -201,16 +201,7 @@ object BloomSeen {
       numBuckets: Int,
       salt: Long,
       register: Dataset[_] => Unit): DataFrame = {
-    import graft.functions.graftfns
-    val cols = candidates.columns
-    val probed = candidates
-      .withColumn("__bucket", bucketCol(col("canonical_url"), numBuckets, salt))
-      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
-        Seq("__bucket"), "left")
-      .withColumn("__hit", col("blob").isNotNull &&
-        graftfns.bloomShardProbe(col("__bucket"), col("blob"), col("__key")))
-      .select((cols.map(col) :+ col("__hit")): _*)
+    val probed = probedStream(candidates, shards, numBuckets, salt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(probed)
     val negatives = probed.filter(!col("__hit")).drop("__hit")
@@ -218,28 +209,48 @@ object BloomSeen {
     negatives.unionByName(ExactSeen.notSeen(positives, seen))
   }
 
-  /** Join-based gate for shard sets too big to broadcast: one shuffle
-    * co-partitions candidates with their shard; the blob deserializes once
-    * per (task, bucket) via the epoch-scoped bucket cache
-    * (BloomShardProbeExpr — an identity cache would NEVER hit here: the
-    * joined-in blob is a fresh UnsafeRow.getBinary copy per row, so it
-    * would re-copy and re-deserialize the whole shard per candidate). */
+  /** Cogroup prelude of the co-partitioned Bloom gates — the Bloom twin of
+    * [[CuckooSeen.probedStream]]; see there for why this is a cogroup and
+    * not a join (a joined-in blob is copied out of the row PER CANDIDATE
+    * by the probe's getBinary — ~0.5 MB/row; cogroup keeps blobs out of
+    * the candidate stream and deserializes once per bucket task). */
+  private def probedStream(
+      candidates: DataFrame,
+      shards: Dataset[BloomShard],
+      numBuckets: Int,
+      salt: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val n = candidates.columns.length
+    val keyed = candidates
+      .withColumn("__bucket", bucketCol(col("canonical_url"), numBuckets, salt))
+      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(candidates.schema.fields :+
+        org.apache.spark.sql.types.StructField("__hit",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    implicit val intEnc: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
+    keyed.groupByKey(_.getInt(n))
+      .cogroup(shards.groupByKey(_.bucket)) { (_, candIt, shardIt) =>
+        val f = if (shardIt.hasNext) Bloom.deserialize(shardIt.next().blob) else null
+        candIt.map { r =>
+          val hit = f != null && f.mightContain(r.getLong(n + 1))
+          Row.fromSeq((0 until n).map(r.get) :+ hit)
+        }
+      }
+  }
+
+  /** Cogroup-based gate for shard sets too big to broadcast: one shuffle
+    * co-partitions candidates with their shard; each bucket's task
+    * deserializes its one shard and streams candidates through it
+    * ([[probedStream]]). */
   def gateNotSeenPartitioned(
       candidates: DataFrame,
       shards: Dataset[BloomShard],
       numBuckets: Int,
-      salt: Long = DefaultSalt): DataFrame = {
-    import graft.functions.graftfns
-    val withKey = candidates
-      .withColumn("__bucket", bucketCol(col("canonical_url"), numBuckets, salt))
-      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-    withKey
-      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
-        Seq("__bucket"), "left")
-      .filter(col("blob").isNull ||
-        !graftfns.bloomShardProbe(col("__bucket"), col("blob"), col("__key")))
-      .drop("__bucket", "__key", "blob", "n_items")
-  }
+      salt: Long = DefaultSalt): DataFrame =
+    probedStream(candidates, shards, numBuckets, salt)
+      .filter(!col("__hit"))
+      .drop("__hit")
 }
 
 /** Exact seen-set operators — the verification twin (SURVEY.md §7 step 4)

@@ -73,14 +73,13 @@ object CuckooSeen {
     candidates.filter(!probe)
   }
 
-  /** Join-based gate for shard sets past the broadcast limit (the
+  /** Cogroup-based gate for shard sets past the broadcast limit (the
     * 10^10-url regime: e.g. 512 × ~50 MB shards ≈ 25 GB — collect+
     * broadcast is off the table). One shuffle co-partitions candidates
-    * with their shard on the salted bucket; each task streams its one
-    * shard, deserialized once per (task, bucket) via the epoch-scoped
-    * bucket cache ([[graft.functions.CuckooShardProbeExpr]] — an identity
-    * cache would never hit on a joined-in blob: each row's getBinary is a
-    * fresh copy). Mirror of [[BloomSeen.gateNotSeenPartitioned]]. */
+    * with their shard on the salted bucket; each task deserializes its one
+    * shard once and streams candidates through it (see [[probedStream]]
+    * for why this is a cogroup, not a join). Mirror of
+    * [[BloomSeen.gateNotSeenPartitioned]]. */
   def gateNotSeenPartitioned(
       candidates: DataFrame,
       shards: Dataset[CuckooShard],
@@ -91,25 +90,48 @@ object CuckooSeen {
       .drop("__hit")
   }
 
-  /** Shared prelude of the co-partitioned gates: candidates keyed and
-    * joined with their shard, probed once into a `__hit` column (original
-    * candidate columns + `__hit`; join helpers dropped). __hit is never
-    * null — a missing shard (null blob) is a definite miss. */
-  private def probedStream(
+  /** Shared prelude of the co-partitioned gates: candidates COGROUPED with
+    * their shard on the salted bucket, probed once into a `__hit` column
+    * (original candidate columns + `__hit`). __hit is never null — a
+    * missing shard is a definite miss.
+    *
+    * Why cogroup and not a join: a join materializes the shard BLOB into
+    * the candidate stream, and every probe's `getBinary` then copies the
+    * whole ~0.5 MB shard out of the joined row — per CANDIDATE ROW. The
+    * per-(epoch,bucket) deserialization caches of rounds 2-3 only avoided
+    * re-DESERIALIZING; the per-row copy remained and dominated end to end
+    * (measured 12-17 s vs 0.9 s broadcast at 1M candidates × 32 shards —
+    * both the broadcast-interleaved and forced-sort-merge join shapes).
+    * Cogroup keeps blobs out of the candidate stream entirely: one shuffle
+    * co-partitions both sides, each bucket's task deserializes its ONE
+    * shard once and streams candidates through it — O(shard) memory, zero
+    * per-row blob traffic, exactly the "each task streams its shard"
+    * contract. The row boxing this costs is ~100 B/row against the 0.5
+    * MB/row it removes, and the shape is scale-invariant (nothing for the
+    * optimizer to flip to broadcast). */
+  private[seen] def probedStream(
       candidates: DataFrame,
       shards: Dataset[CuckooShard],
       numBuckets: Int,
       salt: Long): DataFrame = {
-    import graft.functions.graftfns
-    val cols = candidates.columns
-    candidates
+    import org.apache.spark.sql.{Encoders, Row}
+    val n = candidates.columns.length
+    val keyed = candidates
       .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
       .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-      .join(shards.toDF().withColumnRenamed("bucket", "__bucket"),
-        Seq("__bucket"), "left")
-      .withColumn("__hit", col("blob").isNotNull &&
-        graftfns.cuckooShardProbe(col("__bucket"), col("blob"), col("__key")))
-      .select((cols.map(col) :+ col("__hit")): _*)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(candidates.schema.fields :+
+        org.apache.spark.sql.types.StructField("__hit",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    implicit val intEnc: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
+    keyed.groupByKey(_.getInt(n))
+      .cogroup(shards.groupByKey(_.bucket)) { (_, candIt, shardIt) =>
+        val f = if (shardIt.hasNext) Cuckoo.deserialize(shardIt.next().blob) else null
+        candIt.map { r =>
+          val hit = f != null && f.mightContain(r.getLong(n + 1))
+          Row.fromSeq((0 until n).map(r.get) :+ hit)
+        }
+      }
   }
 
   /** Exact frontier-minus-seen with a cuckoo fast path (same composition
@@ -167,14 +189,14 @@ object CuckooSeen {
       numBuckets: Int,
       salt: Long = BloomSeen.DefaultSalt,
       expectedPerShard: Long = 0L): Map[Int, Array[Byte]] =
-    builtShardCache.computeIfAbsent(s"$corpusTag#$numBuckets#$salt", _ => {
-      // seen is consumed twice by the build (sizing count + shard agg);
-      // the collect is eager so the pin can be released before returning
-      val seenP = seen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try buildShards(seenP, numBuckets, salt, expectedPerShard)
-        .collect().map(s => s.bucket -> s.blob).toMap
-      finally { seenP.unpersist(); () }
-    })
+    builtShardCache.computeIfAbsent(s"$corpusTag#$numBuckets#$salt", _ =>
+      // No persist/unpersist here: the memo already bounds the build to
+      // once per corpus (a double scan of `seen` on that one build is
+      // fine), and an unpersist would EVICT a caller-managed cache of the
+      // same plan — e.g. the session-cached seen fixture that the gate's
+      // exact-confirm branch and the other seen-consumers keep reading.
+      buildShards(seen, numBuckets, salt, expectedPerShard)
+        .collect().map(s => s.bucket -> s.blob).toMap)
 
   /** [[notSeenExactWithPrebuilt]] over the per-JVM shard memo — the
     * steady-state gate shape for a session that probes one corpus many

@@ -64,5 +64,17 @@ class ExportSpec extends SparkSpec {
     assert(sig.getAs[Int]("nb") == 4)
     assert(sig.getAs[Long]("sim") == 3L) // bits 0,1 majority-positive
     assert(sig.getAs[Double]("d") == 11.0)
+    // url + ANN kernels: SQL form must agree with the typed Column API
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    val url = "HTTPS://Ex.ample.com:443/a/../b/?utm_source=x&q=1#frag"
+    val vec = Seq(0.5f, -1.25f, 2.0f, 0.75f)
+    val viaSql = s2.sql(
+      s"""SELECT canonical_url('$url') AS cu, host_of('$url') AS h,
+         |  hyperplane_sig(array(${vec.mkString("F,")}F), 16) AS hs""".stripMargin).head()
+    val viaApi = s2.range(1).select(
+      graft.canon.UrlCanon.canonicalUrl(lit(url)).as("cu"),
+      graft.canon.UrlCanon.hostOf(lit(url)).as("h"),
+      graft.functions.graftfns.hyperplaneSig(typedLit(vec), 16).as("hs")).head()
+    assert(viaSql == viaApi, s"SQL/typed kernel divergence: $viaSql vs $viaApi")
   }
 }

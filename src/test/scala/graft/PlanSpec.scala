@@ -109,4 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
       s"anti join picked a bad strategy:\n$plan")
   }
+
+  test("partitioned gate cogroups candidates with shards — no join, no blob in the candidate stream") {
+    // the gate must NOT plan a join that materializes the shard blob onto
+    // every candidate row: the probe's getBinary would then copy ~0.5 MB
+    // out of each joined row (measured 12-17s vs 0.9s broadcast at 1M
+    // candidates × 32 shards, in both the broadcast-hash and forced-SMJ
+    // shapes). The cogroup shape deserializes one shard per bucket task
+    // and streams candidates through it; nothing for AQE to flip.
+    import org.apache.spark.sql.functions.col
+    import graft.canon.UrlCanon
+    val cand = graft.queries.Fixture.frontier(spark, dir)
+      .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url")).distinct()
+    val seen = graft.queries.Fixture.seenSet(spark, dir)
+    val shards = graft.seen.CuckooSeen.buildShards(seen, 8)
+    val plan = planString(graft.seen.CuckooSeen.gateNotSeenPartitioned(cand, shards, 8))
+    assert(plan.contains("CoGroup"), s"probe must be a cogroup:\n$plan")
+    assert(!plan.contains("Join"), s"no join may carry the blob into the candidate stream:\n$plan")
+  }
 }
