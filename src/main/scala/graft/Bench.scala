@@ -380,8 +380,10 @@ object Bench {
     // anyway. Every rep's gate-exit runnable count and 1-min loadavg are
     // published in the JSON.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOADGATE", "4").toInt
+    // 420s (was 360): one more alternating pair's worth of quiet-window
+    // attempts — the gate can spend up to 45s/rep waiting out a burst
     val scaleDeadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "360").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "420").toLong * 1000000000L
     def awaitQuiet(maxWaitNs: Long): Unit = {
       val t0 = System.nanoTime()
       var b = externalBusy()
@@ -395,7 +397,7 @@ object Bench {
     }
     val repWaitNs = 45L * 1000000000L
     var rep = 1
-    while (rep == 1 || (rep <= 6 && System.nanoTime() < scaleDeadline)) {
+    while (rep == 1 || (rep <= 8 && System.nanoTime() < scaleDeadline)) {
       val sA = mkSession(scaleN, scaleParts)
       if (rep == 1) frontierRun(sA, scaleUrls / 20, scaleParts, fxScale) // warm-up
       awaitQuiet(repWaitNs)
