@@ -119,8 +119,12 @@ object SparkEntry {
       val cand = Fixture.frontier(s, dir)
         .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
         .distinct()
+      // register = no-op: this query's candidates plan is identical every
+      // invocation, so CacheManager dedupes to one entry (see the gate's
+      // scaladoc); the oracle fixture corpus is immutable per sf dir
       graft.seen.CuckooSeen.notSeenExactWithCuckooCached(
-        corpusTag = s"sfdir:$dir", cand, Fixture.seenSet(s, dir), numBuckets = 16)
+        corpusTag = s"sfdir:$dir", cand, Fixture.seenSet(s, dir), numBuckets = 16,
+        register = _ => ())
     }),
 
     // robots.txt gate (north_rule "robots gating"): longest-prefix-wins

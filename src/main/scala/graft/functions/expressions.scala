@@ -459,7 +459,7 @@ case class HostOfExpr(child: Expression) extends UnaryExpression {
       s"graft.canon.UrlCanonImpl.host($c.toString()))")
   override protected def withNewChildInternal(newChild: Expression): HostOfExpr =
     copy(child = newChild)
-  override def prettyName: String = "url_host"
+  override def prettyName: String = "host_of" // must match the SQL-registered name
 }
 
 /** resize_nn(bytes, w, h): deterministic nearest-neighbor resize of an

@@ -89,15 +89,20 @@ object Fixture {
     * (Through round 3 this caching happened by ACCIDENT — c22's fast path
     * persisted its seen input and ran first alphabetically; making it
     * explicit keeps the benched shape when c22's build is memoized.)
-    * WeakHashMap on the session so stopped sessions release their entry. */
-  private val seenCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    *
+    * Only the PERSIST CALL is deduplicated (a string key per session —
+    * Spark's CacheManager matches cached data by PLAN, so a freshly
+    * derived DataFrame reuses the cached rows without us retaining any
+    * DataFrame reference; retaining one would pin the whole stopped
+    * session's object graph, which is why this is not a session→DF map). */
+  private val seenPersisted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def seenSet(spark: SparkSession, dir: String): DataFrame = seenCache.synchronized {
-    var per = seenCache.get(spark)
-    if (per == null) { per = scala.collection.mutable.Map(); seenCache.put(spark, per) }
-    per.getOrElseUpdate(dir, seenSetUncached(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def seenSet(spark: SparkSession, dir: String): DataFrame = {
+    val df = seenSetUncached(spark, dir)
+    val key = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark) + "#" + dir
+    if (seenPersisted.add(key))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
   }
 
   def seenSetUncached(spark: SparkSession, dir: String): DataFrame = {

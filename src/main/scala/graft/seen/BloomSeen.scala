@@ -209,35 +209,16 @@ object BloomSeen {
     negatives.unionByName(ExactSeen.notSeen(positives, seen))
   }
 
-  /** Cogroup prelude of the co-partitioned Bloom gates — the Bloom twin of
-    * [[CuckooSeen.probedStream]]; see there for why this is a cogroup and
-    * not a join (a joined-in blob is copied out of the row PER CANDIDATE
-    * by the probe's getBinary — ~0.5 MB/row; cogroup keeps blobs out of
-    * the candidate stream and deserializes once per bucket task). */
+  /** Cogroup prelude of the co-partitioned Bloom gates — delegates to the
+    * shared [[GateProbe.probedStream]] (see there for why this is a
+    * cogroup and not a join). */
   private def probedStream(
       candidates: DataFrame,
       shards: Dataset[BloomShard],
       numBuckets: Int,
-      salt: Long): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val n = candidates.columns.length
-    val keyed = candidates
-      .withColumn("__bucket", bucketCol(col("canonical_url"), numBuckets, salt))
-      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(
-      org.apache.spark.sql.types.StructType(candidates.schema.fields :+
-        org.apache.spark.sql.types.StructField("__hit",
-          org.apache.spark.sql.types.BooleanType, nullable = false)))
-    implicit val intEnc: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
-    keyed.groupByKey(_.getInt(n))
-      .cogroup(shards.groupByKey(_.bucket)) { (_, candIt, shardIt) =>
-        val f = if (shardIt.hasNext) Bloom.deserialize(shardIt.next().blob) else null
-        candIt.map { r =>
-          val hit = f != null && f.mightContain(r.getLong(n + 1))
-          Row.fromSeq((0 until n).map(r.get) :+ hit)
-        }
-      }
-  }
+      salt: Long): DataFrame =
+    GateProbe.probedStream[BloomShard](candidates, shards, numBuckets, salt,
+      _.bucket, s => Bloom.deserialize(s.blob).mightContain _)
 
   /** Cogroup-based gate for shard sets too big to broadcast: one shuffle
     * co-partitions candidates with their shard; each bucket's task

@@ -90,49 +90,16 @@ object CuckooSeen {
       .drop("__hit")
   }
 
-  /** Shared prelude of the co-partitioned gates: candidates COGROUPED with
-    * their shard on the salted bucket, probed once into a `__hit` column
-    * (original candidate columns + `__hit`). __hit is never null — a
-    * missing shard is a definite miss.
-    *
-    * Why cogroup and not a join: a join materializes the shard BLOB into
-    * the candidate stream, and every probe's `getBinary` then copies the
-    * whole ~0.5 MB shard out of the joined row — per CANDIDATE ROW. The
-    * per-(epoch,bucket) deserialization caches of rounds 2-3 only avoided
-    * re-DESERIALIZING; the per-row copy remained and dominated end to end
-    * (measured 12-17 s vs 0.9 s broadcast at 1M candidates × 32 shards —
-    * both the broadcast-interleaved and forced-sort-merge join shapes).
-    * Cogroup keeps blobs out of the candidate stream entirely: one shuffle
-    * co-partitions both sides, each bucket's task deserializes its ONE
-    * shard once and streams candidates through it — O(shard) memory, zero
-    * per-row blob traffic, exactly the "each task streams its shard"
-    * contract. The row boxing this costs is ~100 B/row against the 0.5
-    * MB/row it removes, and the shape is scale-invariant (nothing for the
-    * optimizer to flip to broadcast). */
+  /** Cogroup prelude of the co-partitioned cuckoo gates — delegates to the
+    * shared [[GateProbe.probedStream]] (see there for why this is a
+    * cogroup and not a join). */
   private[seen] def probedStream(
       candidates: DataFrame,
       shards: Dataset[CuckooShard],
       numBuckets: Int,
-      salt: Long): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val n = candidates.columns.length
-    val keyed = candidates
-      .withColumn("__bucket", BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt))
-      .withColumn("__key", UrlCanon.saltedKey(col("canonical_url"), salt))
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(
-      org.apache.spark.sql.types.StructType(candidates.schema.fields :+
-        org.apache.spark.sql.types.StructField("__hit",
-          org.apache.spark.sql.types.BooleanType, nullable = false)))
-    implicit val intEnc: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
-    keyed.groupByKey(_.getInt(n))
-      .cogroup(shards.groupByKey(_.bucket)) { (_, candIt, shardIt) =>
-        val f = if (shardIt.hasNext) Cuckoo.deserialize(shardIt.next().blob) else null
-        candIt.map { r =>
-          val hit = f != null && f.mightContain(r.getLong(n + 1))
-          Row.fromSeq((0 until n).map(r.get) :+ hit)
-        }
-      }
-  }
+      salt: Long): DataFrame =
+    GateProbe.probedStream[CuckooShard](candidates, shards, numBuckets, salt,
+      _.bucket, s => Cuckoo.deserialize(s.blob).mightContain _)
 
   /** Exact frontier-minus-seen with a cuckoo fast path (same composition
     * as [[BloomSeen.notSeenExactWithBloomFastPath]]): negatives definitely
@@ -175,13 +142,25 @@ object CuckooSeen {
   /** Per-JVM memo of BUILT shard blobs, keyed by caller-chosen corpus tag
     * (same pattern as [[graft.ops.Ivf.trainCached]] for centroids): the
     * filter is a property of the SEEN CORPUS, not of any query, so a
-    * long-lived session gating repeated frontier batches against the same
-    * corpus must not pay the O(corpus) shard build per call — at scale the
-    * filter is *maintained* ([[ShardStore]]/[[insert]]), never rebuilt,
-    * and this memo models that steady state in-process. Payload is
-    * numBuckets blobs (MBs at bench scale); entries live for the JVM. */
+    * session gating repeated frontier batches against the same corpus
+    * must not pay the O(corpus) shard build per call. Payload is
+    * numBuckets blobs (MBs at bench scale); entries live for the JVM.
+    *
+    * CONTRACT — the tag names an IMMUTABLE corpus snapshot. The memo has
+    * no change detection: gating against a tag whose underlying seen set
+    * has since GROWN would probe a stale filter, and the new urls would
+    * pass the "definitely unseen" branch un-confirmed — an exactness
+    * violation. When the corpus changes, either use a new tag (include a
+    * version/batch id in it), call [[evictShards]], or — the real
+    * growing-corpus path — maintain the filter incrementally via
+    * [[insert]]/[[ShardStore]] instead of memoizing builds. */
   private val builtShardCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Byte]]]()
+
+  /** Drop every memoized build for `corpusTag` (any bucket count/salt) —
+    * call after the corpus snapshot behind the tag changes. */
+  def evictShards(corpusTag: String): Unit =
+    builtShardCache.keySet.removeIf(_.startsWith(corpusTag + "#"))
 
   def shardsCached(
       corpusTag: String,
@@ -199,15 +178,26 @@ object CuckooSeen {
         .collect().map(s => s.bucket -> s.blob).toMap)
 
   /** [[notSeenExactWithPrebuilt]] over the per-JVM shard memo — the
-    * steady-state gate shape for a session that probes one corpus many
-    * times (first call builds and memoizes; every later call only probes
-    * + exact-confirms). Row-equal to the plain exact anti join like every
-    * other composition here (CuckooSeenSpec). */
+    * steady-state gate shape for a session that probes one IMMUTABLE
+    * corpus snapshot many times (first call builds and memoizes; every
+    * later call only probes + exact-confirms; see the [[shardsCached]]
+    * contract for what "immutable" buys and costs). Row-equal to the
+    * plain exact anti join like every other composition here
+    * (CuckooSeenSpec).
+    *
+    * `register` receives the internally persisted candidates so the
+    * caller can unpersist once the lazy result has materialized — same
+    * reasoning as [[notSeenExactPartitioned]]'s required hook. Callers
+    * that invoke this with the SAME candidates plan every time (e.g. a
+    * fixed benchmark query) may pass a no-op: CacheManager dedupes
+    * plan-equal entries, so nothing accumulates; per-batch DIFFERENT
+    * candidate plans without release would leak one entry per call. */
   def notSeenExactWithCuckooCached(
       corpusTag: String,
       candidates: DataFrame,
       seen: DataFrame,
       numBuckets: Int,
+      register: Dataset[_] => Unit,
       salt: Long = BloomSeen.DefaultSalt,
       expectedPerShard: Long = 0L): DataFrame = {
     import graft.functions.{CuckooProbeExpr, CuckooShardMap}
@@ -221,6 +211,7 @@ object CuckooSeen {
       Bridge.expression(UrlCanon.saltedKey(col("canonical_url"), salt)),
       bc))
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(cand)
     val negatives = cand.filter(!probe)
     val positives = cand.filter(probe)
     negatives.unionByName(ExactSeen.notSeen(positives, seen))

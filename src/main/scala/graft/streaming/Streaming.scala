@@ -191,7 +191,12 @@ object Streaming {
           // holding only unkeyed commits.) Fall back to the exact anti
           // join, which reads the full table and misses nothing.
           val keyedIds = seenT.committedBatchIds
-          val chainKeyed = keyedIds.nonEmpty && !seenT.hasUnkeyedCommits
+          // walked ONCE per batch: this batch's own commit below is always
+          // keyed, so the post-commit advance reuses the same boolean (an
+          // external unkeyed commit racing in mid-batch is equally
+          // invisible to a re-check milliseconds later)
+          val noUnkeyed = !seenT.hasUnkeyedCommits
+          val chainKeyed = keyedIds.nonEmpty && noUnkeyed
           val unseen = seenT.read(spark) match {
             case Some(seen) => maintainedShards match {
               case Some(store) if chainKeyed =>
@@ -234,7 +239,7 @@ object Streaming {
           // the store current while its filter permanently misses the
           // unkeyed rows (which no later heal can see) — leave latestBatch
           // behind so the gate keeps taking the exact path above.
-          if (!seenT.hasUnkeyedCommits) maintainedShards.foreach { store =>
+          if (noUnkeyed) maintainedShards.foreach { store =>
             val delta = seenT
               .readSinceBatch(spark, store.latestBatch.getOrElse(-1L))
               .getOrElse(ranked.select("canonical_url").limit(0)

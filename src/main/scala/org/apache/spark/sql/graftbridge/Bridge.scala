@@ -12,4 +12,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Stable per-session id (`private[sql]` in Spark 4) — used to key
+    * session-scoped memos WITHOUT retaining the session object itself. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

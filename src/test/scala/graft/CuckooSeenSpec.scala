@@ -30,7 +30,7 @@ class CuckooSeenSpec extends SparkSpec {
   test("memoized cached gate (c22's steady-state shape) is row-equal to exact; build runs once per corpus tag") {
     val exact = ExactSeen.notSeen(cand, seen).collect().map(_.getString(0)).toSet
     val tag = "spec-corpus-" + System.nanoTime() // fresh memo key per run
-    val a = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B)
+    val a = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B, register = _ => ())
       .collect().map(_.getString(0)).toSet
     assert(a == exact, s"cached gate diff: ${(a diff exact).take(3)} / ${(exact diff a).take(3)}")
     // the per-JVM memo returns the SAME blob map on a second call — even
@@ -38,9 +38,13 @@ class CuckooSeenSpec extends SparkSpec {
     val m1 = CuckooSeen.shardsCached(tag, seen, B)
     val m2 = CuckooSeen.shardsCached(tag, seen.limit(0), B)
     assert(m1 eq m2, "second shardsCached call rebuilt instead of hitting the memo")
-    val b = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B)
+    val b = CuckooSeen.notSeenExactWithCuckooCached(tag, cand, seen, B, register = _ => ())
       .collect().map(_.getString(0)).toSet
     assert(b == exact)
+    // corpus-changed protocol: evictShards drops the memo so the next call rebuilds
+    CuckooSeen.evictShards(tag)
+    val m3 = CuckooSeen.shardsCached(tag, seen, B)
+    assert(!(m3 eq m1), "evictShards left the stale memo in place")
   }
 
   test("gate alone passes no seen url (no false negatives) and nearly all unseen") {
