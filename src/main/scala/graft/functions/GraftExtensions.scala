@@ -55,7 +55,9 @@ object GraftExtensions {
     ("canonical_url", "canonical_url(url) - crawl-canonical form of a url (scheme/host lowering, default port, dot-segments, tracking params, fragment)",
       args => CanonicalUrlExpr(args.head)),
     ("host_of", "host_of(url) - lowercased host component of a url",
-      args => HostOfExpr(args.head)))
+      args => HostOfExpr(args.head)),
+    ("repetition_stats", "repetition_stats(text) - [n_words, n_distinct_words, max_word_count, n_bigrams, n_distinct_bigrams, max_bigram_count] repetition metrics",
+      args => RepetitionStatsExpr(args.head)))
   // Not SQL-registered, by design: the broadcast probes (BloomProbeExpr/
   // CuckooProbeExpr) close over a Broadcast handle and the shard-as-column
   // probes carry a gate epoch — both are plan-construction artifacts with

@@ -232,4 +232,45 @@ object TextSig {
     while (i < n) { acc += a.getInt(i).toDouble * b.getInt(i).toDouble; i += 1 }
     acc
   }
+
+  /** Per-document repetition metrics (Gopher-style quality signals) in one
+    * kernel pass: `[n_words, n_distinct_words, max_word_count, n_bigrams,
+    * n_distinct_bigrams, max_bigram_count]`. All integers — ratios like
+    * duplicate-word fraction or top-bigram coverage are derived downstream
+    * from exact numerators/denominators, so the DuckDB oracle hash-matches
+    * without float-division divergence.
+    *
+    * Tokenization parity contract: split on the single space character,
+    * KEEPING empty tokens (leading/trailing/adjacent) — exactly DuckDB's
+    * `string_split(text, ' ')`, including `'' → ['']` (n_words = 1 for an
+    * empty document). A bigram is `words(i) + " " + words(i+1)`. */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    def bump(m: java.util.HashMap[String, Integer], key: String): Int = {
+      val prev = m.get(key)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      m.put(key, Integer.valueOf(c))
+      c
+    }
+    val wc = new java.util.HashMap[String, Integer]()
+    var maxW = 0
+    var i = 0
+    while (i < words.length) {
+      val c = bump(wc, words(i))
+      if (c > maxW) maxW = c
+      i += 1
+    }
+    val nBi = math.max(words.length - 1, 0)
+    val bc = new java.util.HashMap[String, Integer]()
+    var maxB = 0
+    i = 0
+    while (i < nBi) {
+      val c = bump(bc, words(i) + " " + words(i + 1))
+      if (c > maxB) maxB = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](
+      words.length.toLong, wc.size.toLong, maxW.toLong,
+      nBi.toLong, bc.size.toLong, maxB.toLong))
+  }
 }

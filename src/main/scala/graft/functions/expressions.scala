@@ -304,6 +304,27 @@ case class SimhashFromHashesExpr(child: Expression, bits: Int) extends UnaryExpr
   override def prettyName: String = "simhash_from_hashes"
 }
 
+/** repetition_stats(text): per-document repetition metrics
+  * `[n_words, n_distinct_words, max_word_count, n_bigrams,
+  * n_distinct_bigrams, max_bigram_count]` in one kernel pass — the
+  * Gopher-style quality signals a training-data pipeline derives
+  * duplicate-word / top-bigram-coverage ratios from. Integer outputs with
+  * a DuckDB-parity tokenization contract (see [[TextSig.repetitionStats]]);
+  * row-local, so the operator is shuffle-free at any scale. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextSig.repetitionStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** hyperplane_sig(vec, planes): packed random-hyperplane sign signature —
   * kernel twin of the zip_with/aggregate Column form (bit-identical
   * components and fold order; plane matrix memoized per executor instead
@@ -416,6 +437,8 @@ object graftfns {
     Bridge.column(ShinglesExpr(Bridge.expression(toks), k))
   def minhashBuckets(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
     Bridge.column(MinhashBucketsExpr(Bridge.expression(shingles), numBands, rowsPerBand))
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
   def simhashFromHashes(hashes: Column, bits: Int): Column =
     Bridge.column(SimhashFromHashesExpr(Bridge.expression(hashes), bits))
   def vecDot(a: Column, b: Column): Column =

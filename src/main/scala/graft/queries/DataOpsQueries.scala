@@ -164,6 +164,29 @@ object DataOpsQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // Gopher-style repetition metrics, one kernel pass per document
+    // (row-local → shuffle-free at any scale). Integer numerators/
+    // denominators, so the dup-word and top-bigram ratios derived from
+    // them are float-free and the oracle hash-matches exactly.
+    "t5_repetition" -> ((s, dir) =>
+      Fixture.documents(s, dir)
+        .select(col("doc_id"), graft.functions.graftfns.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("n_words"),
+          col("r").getItem(1).as("n_distinct_words"),
+          col("r").getItem(2).as("max_word_count"),
+          col("r").getItem(3).as("n_bigrams"),
+          col("r").getItem(4).as("n_distinct_bigrams"),
+          col("r").getItem(5).as("max_bigram_count"))),
+
+    // Deterministic stratified sample: k docs per source by cross-engine
+    // id hash — bounded top-k Aggregator (map-side combine, O(k) state per
+    // group, no full per-group sort), row-equal to the oracle's window
+    // rank. See graft.ops.Sampling for the scale argument.
+    "s1_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        Fixture.documents(s, dir), "source", "doc_id", k = 5)),
+
     // ---------------------------------------------------- multimodal stub --
     // Binary-column plumbing: payload as opaque binary + typed metadata;
     // the real decode is graft.imagecodec (tested in ExtractSpec); here the
@@ -292,6 +315,39 @@ object DataOpsQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // string_split(text, ' ') matches the kernel's split-keeping-empties
+    // contract exactly (verified: 'a  b' → [a,'',b], '' → ['']); DuckDB
+    // sum() is HUGEINT → CAST to BIGINT for the type-sensitive compare
+    "t5_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |              count(*) AS n_distinct_words, max(c) AS max_word_count
+        |       FROM wc GROUP BY 1),
+        |bp AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM t WHERE len(w) > 1),
+        |bc AS (SELECT doc_id, w1 || ' ' || w2 AS bg, count(*) AS c FROM bp GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              count(*) AS n_distinct_bigrams, max(c) AS max_bigram_count
+        |       FROM bc GROUP BY 1)
+        |SELECT t.doc_id, ws.n_words, ws.n_distinct_words, ws.max_word_count,
+        |  CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(bs.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(coalesce(bs.max_bigram_count, 0) AS BIGINT) AS max_bigram_count
+        |FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id""".stripMargin,
+
+    // the oracle ranks by the SAME 60-bit md5-prefix hash (cross-engine
+    // parity trick shared with the repo's other hash oracles); equality
+    // proves the bounded-heap aggregation == a full window sort
+    "s1_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk FROM h)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

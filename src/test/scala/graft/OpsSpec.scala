@@ -188,4 +188,48 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("repetition_stats: exact metrics incl. split-keeping-empties parity edges") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a"),  // 3 words, 1 distinct, max 3; bigrams "a a"×2
+      (2L, "x"),      // single word, no bigrams
+      (3L, ""),       // DuckDB string_split('') = [''] → ONE (empty) word
+      (4L, "a  b"),   // adjacent spaces keep the empty middle token
+      (5L, "p q p q p")) // bigrams: "p q"×2, "q p"×2 → max 2, distinct 2
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), graft.functions.graftfns.repetitionStats(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got(1L) == Seq(3L, 1L, 3L, 2L, 1L, 2L))
+    assert(got(2L) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+    assert(got(3L) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+    assert(got(4L) == Seq(3L, 3L, 1L, 2L, 2L, 1L))
+    assert(got(5L) == Seq(5L, 2L, 3L, 4L, 2L, 2L))
+  }
+
+  test("stratified sample: bounded-heap aggregator == window rank; no Window in its plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups with sizes 1, 4, 120 (one far above k — the hot group a
+    // window rank would sort in one task)
+    val rows = Seq((0L, "tiny")) ++ (1L to 4L).map((_, "mid")) ++ (5L to 124L).map((_, "hot"))
+    val df = rows.toDF("doc_id", "source")
+    val k = 5
+    val got = graft.ops.Sampling.stratifiedSample(df, "source", "doc_id", k)
+    // row-equal to the window-rank formulation over the same hash
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.ops.Sampling.idHash(col("doc_id")), col("doc_id"))
+    val expect = df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSet = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet == expect,
+      s"sample diverged: ${(gotSet diff expect).take(3)} / ${(expect diff gotSet).take(3)}")
+    // per-group sizes: min(k, |group|)
+    val sizes = got.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("tiny" -> 1L, "mid" -> 4L, "hot" -> 5L))
+    // scale contract: the aggregation plan has no Window (no per-group full sort)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "stratified sample must not plan a window sort")
+  }
 }
