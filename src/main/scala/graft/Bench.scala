@@ -175,10 +175,17 @@ object Bench {
     def errsJson: String =
       errs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
+    def writeOut(json: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     // opt-in fast path for local iteration: per-query timings only
     if (sys.env.get("SPARK_GRAFT_QUERIES_ONLY").contains("1")) {
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"query_errors":$errsJson,"sf":"$sfDir"}""")
+      val json0 = s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"query_errors":$errsJson,"sf":"$sfDir"}"""
+      println(json0)
+      writeOut(json0)
       spark.stop()
       return
     }
@@ -428,8 +435,6 @@ object Bench {
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up
-    java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeOut(json)
   }
 }
