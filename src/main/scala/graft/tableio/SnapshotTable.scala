@@ -29,7 +29,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are written by executors via the normal Parquet sink, so commit cost is
   * O(1) in data size.
   */
+object SnapshotTable {
+  final case class Manifest(
+      id: Long,
+      parent: Long, // -1 for first
+      batchId: Long, // user-level idempotency key; -1 if unkeyed
+      files: Seq[String], // data files ADDED by this snapshot (relative)
+      rows: Long) // rows added
+
+  /** Per-JVM memo of parsed manifests, keyed (table root, snapshot id) —
+    * see [[SnapshotTable.manifest]] for the immutability argument. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+}
+
 final class SnapshotTable(val root: String) {
+  import SnapshotTable.Manifest
+
   private val rootP = Paths.get(root)
   private val dataP = rootP.resolve("data")
   private val snapP = rootP.resolve("snapshots")
@@ -38,21 +54,32 @@ final class SnapshotTable(val root: String) {
   Files.createDirectories(dataP)
   Files.createDirectories(snapP)
 
-  final case class Manifest(
-      id: Long,
-      parent: Long, // -1 for first
-      batchId: Long, // user-level idempotency key; -1 if unkeyed
-      files: Seq[String], // data files ADDED by this snapshot (relative)
-      rows: Long) // rows added
-
   // ------------------------------------------------------------- reads --
 
   def headId: Option[Long] =
     if (Files.exists(headP)) Some(new String(Files.readAllBytes(headP), StandardCharsets.UTF_8).trim.toLong)
     else None
 
-  def manifest(id: Long): Manifest = parseManifest(
-    new String(Files.readAllBytes(snapP.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+  def manifest(id: Long): Manifest = {
+    // Parses are memoized per JVM: without this, every chain walk
+    // (committedBatchIds / readSinceBatch / read — several per
+    // micro-batch) re-reads every manifest file on the chain, O(commits²)
+    // file I/O over a long stream. A manifest file is rewritten in
+    // exactly one case — commit() reusing an id orphaned by a HEAD
+    // rollback (crash healing) — and commit() refreshes that entry, so
+    // cached parses stay coherent for this single-writer table. Bounded:
+    // cleared wholesale past a size cap; correctness never needs a hit.
+    val key = (root, id)
+    val cached = SnapshotTable.manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val m = parseManifest(
+        new String(Files.readAllBytes(snapP.resolve(s"snapshot-$id.json")), StandardCharsets.UTF_8))
+      if (SnapshotTable.manifestCache.size > 65536) SnapshotTable.manifestCache.clear()
+      SnapshotTable.manifestCache.put(key, m)
+      m
+    }
+  }
 
   /** All manifests from `id` back to the root, newest first. */
   def chain(id: Long): Seq[Manifest] = {
@@ -124,8 +151,14 @@ final class SnapshotTable(val root: String) {
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => rootP.relativize(p).toString).toSeq.sorted
-    writeAtomic(snapP.resolve(s"snapshot-$id.json"),
-      renderManifest(Manifest(id, head.getOrElse(-1L), batchId, files, rows)))
+    val m = Manifest(id, head.getOrElse(-1L), batchId, files, rows)
+    writeAtomic(snapP.resolve(s"snapshot-$id.json"), renderManifest(m))
+    // keep the parse memo coherent: a HEAD rollback (crash healing) makes
+    // the next commit REUSE the orphaned id with a fresh file list — the
+    // one case where a manifest file is rewritten. Same-JVM rewrites all
+    // pass through here, so overwriting the entry restores immutability
+    // from the cache's point of view (a new JVM starts cold anyway).
+    SnapshotTable.manifestCache.put((root, id), m)
     writeAtomic(headP, id.toString)
     id
   }

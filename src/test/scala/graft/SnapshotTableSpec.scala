@@ -30,6 +30,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.committedBatchIds == Set(7L))
   }
 
+  test("manifest parse memo stays coherent across HEAD rollback + id-reuse recommit") {
+    import spark.implicits._
+    // the crash-healing flow: roll HEAD back one commit, replay — the next
+    // commit REUSES the orphaned snapshot id with a fresh file list. A
+    // stale cached parse of the old manifest would resolve deleted data
+    // files (found by ResumeSpec's fault injection when the memo landed).
+    val t = tmpTable()
+    t.commit(Seq((1, "a")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 1)
+    val head = t.headId.get
+    t.chain(head) // warm the memo with the soon-to-be-orphaned manifest
+    Files.write(java.nio.file.Paths.get(s"${t.root}/HEAD"),
+      t.manifest(head).parent.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    t.commit(Seq((3, "c")).toDF("id", "v"), batchId = 2) // reuses id `head`
+    val got = t.read(spark).get.as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a"), (3, "c")))
+    assert(t.committedBatchIds == Set(0L, 2L))
+  }
+
   test("hasUnkeyedCommits flags batchId=-1 commits (maintained-filter guard)") {
     import spark.implicits._
     val t = tmpTable()
