@@ -205,12 +205,22 @@ object Bench {
       return
     }
 
+    // CHECKPOINT the artifact after each completed section (same file the
+    // final write targets): the full run is ~20 min on this host, and a
+    // partial-but-valid JSON beats no artifact if the invoking process is
+    // killed late — each rewrite only ADDS sections.
+    def checkpoint(extra: String): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      writeOut(s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir"$extra,"partial":true}""")
+    }
+    if (!scaleOnly) checkpoint("")
+
     // The sandbox host is SHARED (load from other tenants fluctuates), so
     // each measured level repeats and reports the best — the least-
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (Double, Long, graft.metrics.Metrics.Snapshot, String, String, String) = {
+    def mainSections(): (String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -223,6 +233,11 @@ object Bench {
       (1 to 4).map(_ => frontierRun(spark, benchUrls, cpus, fxMain)).maxBy(_._1)
     val mSnap = listener.snapshot
     listener.unregister()
+    val frontierJson =
+      s"""{"urls":$benchUrls,"fetched":$fetchedRows,"urls_per_sec":${urlsPerSec.round},""" +
+      s""""tasks":${mSnap.tasks},"records_read":${mSnap.recordsRead},""" +
+      s""""shuffle_records":${mSnap.shuffleRecordsRead}}"""
+    checkpoint(s""","frontier":$frontierJson""")
 
     // -- 10x-frontier pressure rep: ONE rep at 10× the headline frontier
     // against the SAME fixture (store covers ~10% of urls — the miss-heavy
@@ -241,6 +256,7 @@ object Bench {
         s""""shuffle_records":${s10.shuffleRecordsRead},""" +
         s""""shuffle_bytes_written":${s10.shuffleBytesWritten}}"""
       }
+    checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x""")
 
     // -- maintained-filter evidence: per-batch maintenance cost -----------
     // The scale claim behind CuckooSeen.insert/ShardStore: folding a crawl
@@ -344,12 +360,13 @@ object Bench {
         s""""rows_partitioned":$rowsPartitioned,"rows_maintained":$rowsMaintained}"""
       (maintJson, gateJson)
     }
-    (urlsPerSec, fetchedRows, mSnap, frontier10x, maintenance, gateShapes)
+    checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
+      s""""maintenance":$maintenance,"gate":$gateShapes""")
+    (frontierJson, frontier10x, maintenance, gateShapes)
     } // mainSections
 
-    val (urlsPerSec, fetchedRows, mSnap, frontier10x, maintenance, gateShapes) =
-      if (scaleOnly)
-        (0.0, 0L, graft.metrics.Metrics.Snapshot(0, 0, 0, 0, 0, 0, 0), "null", "null", "null")
+    val (frontierJson, frontier10x, maintenance, gateShapes) =
+      if (scaleOnly) ("null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -496,10 +513,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val frontier =
-      s"""{"urls":$benchUrls,"fetched":$fetchedRows,"urls_per_sec":${urlsPerSec.round},""" +
-      s""""tasks":${mSnap.tasks},"records_read":${mSnap.recordsRead},""" +
-      s""""shuffle_records":${mSnap.shuffleRecordsRead}}"""
+    val frontier = frontierJson
     val scaling =
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"efficiency_best_any":${f"$efficiencyAny%.3f"},""" +
