@@ -59,12 +59,24 @@ object Bench {
 
   /** Sweep fixture stores left by PRIOR bench invocations (each run
     * rebuilds its stores with mode=overwrite anyway; a 12M-url store is
-    * ~16 GB and stale ones from earlier rounds can exhaust /tmp). */
-  private def sweepStaleStores(): Unit = {
+    * ~16 GB and stale ones from earlier rounds can exhaust /tmp).
+    *
+    * Scoped to entries whose newest file is older than `maxAgeMs`: an
+    * unconditional sweep would delete a CONCURRENT bench run's live store
+    * out from under it (crashes or silently wrong fixture reads). A live
+    * run keeps writing, so its newest mtime stays fresh; only orphans
+    * from dead runs age past the threshold. */
+  private def sweepStaleStores(maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(newestMtime).toSeq).max
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    Option(new java.io.File("/tmp/graft-store").listFiles()).foreach(_.foreach(rm))
+    val now = System.currentTimeMillis()
+    Option(new java.io.File("/tmp/graft-store").listFiles()).foreach(_.foreach { entry =>
+      if (now - newestMtime(entry) > maxAgeMs) rm(entry)
+    })
   }
 
   private def buildFixture(spark: SparkSession, nUrls: Long, parts: Int): Fixture = {
@@ -497,17 +509,23 @@ object Bench {
       sB.stop()
       rep += 1
     }
-    // Estimator (pre-registered, symmetric across levels): per level, the
-    // best STORM-FREE rep (mid-rep external runnable never above the gate)
-    // when one exists, else the best rep overall. All per-rep throughputs
-    // and storm maxima are published, as is the unselected best-any
+    // Estimator (pre-registered, symmetric across levels): the best
+    // STORM-FREE rep (mid-rep external runnable never above the gate) per
+    // level — but only when BOTH levels have one. If either level ran
+    // storm-free reps and the other did not, mixing a clean max against a
+    // storm-degraded max would bias the ratio (a clean 4N over a stormy N
+    // inflates it), so the estimator degrades to best-any for BOTH levels
+    // and says so in the published estimator string. All per-rep
+    // throughputs and storm maxima are published, as is the best-any
     // efficiency — nothing is discarded silently.
-    def pick(rs: Seq[(Double, Int)]): Double = {
-      val clean = rs.filter(_._2 <= loadGate).map(_._1)
-      if (clean.nonEmpty) clean.max else rs.map(_._1).max
-    }
-    val thrN = pick(repsN.toSeq)
-    val thr4N = pick(reps4N.toSeq)
+    val cleanN = repsN.filter(_._2 <= loadGate).map(_._1)
+    val clean4N = reps4N.filter(_._2 <= loadGate).map(_._1)
+    val stormFreeBoth = cleanN.nonEmpty && clean4N.nonEmpty
+    val thrN = if (stormFreeBoth) cleanN.max else repsN.map(_._1).max
+    val thr4N = if (stormFreeBoth) clean4N.max else reps4N.map(_._1).max
+    val estimator =
+      if (stormFreeBoth) "best storm-free rep per level"
+      else "best any rep per level (DEGRADED: a level had no storm-free rep)"
     val efficiency = (thr4N / thrN) / 4.0
     val efficiencyAny = (reps4N.map(_._1).max / repsN.map(_._1).max) / 4.0
 
@@ -517,7 +535,7 @@ object Bench {
     val scaling =
       s"""{"n":$scaleN,"nN_urls_per_sec":${thrN.round},"n4N_urls_per_sec":${thr4N.round},""" +
       s""""efficiency":${f"$efficiency%.3f"},"efficiency_best_any":${f"$efficiencyAny%.3f"},""" +
-      s""""estimator":"best storm-free rep per level (fallback: best any)",""" +
+      s""""estimator":"$estimator",""" +
       s""""nN_reps":[${repsN.map(r => s"""[${r._1.round},${r._2}]""").mkString(",")}],""" +
       s""""n4N_reps":[${reps4N.map(r => s"""[${r._1.round},${r._2}]""").mkString(",")}],""" +
       s""""load_gate":$loadGate,""" +

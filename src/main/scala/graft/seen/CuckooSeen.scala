@@ -157,10 +157,45 @@ object CuckooSeen {
   private val builtShardCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Byte]]]()
 
+  /** Per-JVM memo of the BROADCAST shard map, keyed by (applicationId,
+    * corpus tag, geometry). Without it a per-micro-batch caller of
+    * [[notSeenExactWithCuckooCached]] against the same corpus would ship a
+    * fresh multi-MB Broadcast of the full shard map every call and leave
+    * collection to the ContextCleaner's whim — the blob memo alone does
+    * not stop the broadcast-payload accumulation. applicationId scopes
+    * entries to the owning SparkContext (a broadcast is dead once its
+    * context stops; a restarted context gets a new id and fresh entries). */
+  private val shardBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[graft.functions.CuckooShardMap]]()
+
+  private def broadcastCached(
+      spark: SparkSession,
+      corpusTag: String,
+      seen: DataFrame,
+      numBuckets: Int,
+      salt: Long,
+      expectedPerShard: Long): org.apache.spark.broadcast.Broadcast[graft.functions.CuckooShardMap] =
+    shardBroadcastCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$corpusTag#$numBuckets#$salt", _ =>
+        spark.sparkContext.broadcast(new graft.functions.CuckooShardMap(
+          shardsCached(corpusTag, seen, numBuckets, salt, expectedPerShard))))
+
   /** Drop every memoized build for `corpusTag` (any bucket count/salt) —
-    * call after the corpus snapshot behind the tag changes. */
-  def evictShards(corpusTag: String): Unit =
+    * call after the corpus snapshot behind the tag changes. Also releases
+    * the tag's memoized broadcasts (removeBroadcast, not destroy: an
+    * in-flight job of another caller may still hold the old value; the
+    * unpersist path lets executors drop the blocks safely). */
+  def evictShards(corpusTag: String): Unit = {
     builtShardCache.keySet.removeIf(_.startsWith(corpusTag + "#"))
+    val it = shardBroadcastCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(s"#$corpusTag#")) {
+        scala.util.Try(e.getValue.unpersist(blocking = false))
+        it.remove()
+      }
+    }
+  }
 
   def shardsCached(
       corpusTag: String,
@@ -200,12 +235,12 @@ object CuckooSeen {
       register: Dataset[_] => Unit,
       salt: Long = BloomSeen.DefaultSalt,
       expectedPerShard: Long = 0L): DataFrame = {
-    import graft.functions.{CuckooProbeExpr, CuckooShardMap}
+    import graft.functions.CuckooProbeExpr
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = candidates.sparkSession
-    val shardMap = new CuckooShardMap(
-      shardsCached(corpusTag, seen, numBuckets, salt, expectedPerShard))
-    val bc = spark.sparkContext.broadcast(shardMap)
+    // broadcast memoized alongside the blobs: repeated per-batch calls
+    // reuse ONE broadcast instead of accumulating a fresh payload per call
+    val bc = broadcastCached(spark, corpusTag, seen, numBuckets, salt, expectedPerShard)
     val probe = Bridge.column(CuckooProbeExpr(
       Bridge.expression(BloomSeen.bucketCol(col("canonical_url"), numBuckets, salt)),
       Bridge.expression(UrlCanon.saltedKey(col("canonical_url"), salt)),

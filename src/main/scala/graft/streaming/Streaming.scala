@@ -71,54 +71,72 @@ object Streaming {
       candidates: org.apache.spark.sql.Dataset[(String, String)], // (host, canonical_url)
       budgetPerBatch: Int): org.apache.spark.sql.Dataset[GrantDecision] = {
     import candidates.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     candidates
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (host: String, rows: Iterator[(String, String)], state: GroupState[HostState]) => {
-          val st = state.getOption.getOrElse(HostState(0L, 0L))
-          val base = st.granted
-          val k = math.max(budgetPerBatch, 0)
-          // max-heap of the k lexicographically-smallest urls so far
-          val heap = new java.util.PriorityQueue[String](
-            math.max(k, 1), java.util.Collections.reverseOrder[String]())
-          var deferredN = 0L
-          val deferred: Iterator[GrantDecision] = rows.flatMap { case (_, u) =>
-            if (k == 0) {
-              deferredN += 1
-              Iterator.single(GrantDecision(host, u, granted = false, base))
-            } else if (heap.size < k) {
-              heap.add(u); Iterator.empty
-            } else {
-              // ties defer the incoming url — same multiset of grants as
-              // sorted.take(k) (k smallest with multiplicity)
-              val out = if (u.compareTo(heap.peek) < 0) {
-                val ev = heap.poll(); heap.add(u); ev
-              } else u
-              deferredN += 1
-              Iterator.single(GrantDecision(host, out, granted = false, base + k))
-            }
+        limitGroup(budgetPerBatch))
+  }
+
+  /** Per-group kernel of [[statefulHostLimiter]], factored out so specs
+    * can drive it with a `TestGroupState` (incl. PARTIAL drains).
+    *
+    * Drain contract: the output is lazy and state rides it, so a
+    * downstream that stops pulling mid-group must never observe emitted
+    * rows AHEAD of state. Deferrals therefore update `HostState.deferred`
+    * incrementally BEFORE each row is emitted (O(1) in-memory update per
+    * row), and the grant path updates state once before the first grant is
+    * emitted — at every prefix of the output, state ≥ emitted
+    * (StreamingSpec "partial drain" test). A fully drained group ends with
+    * exactly the old eager semantics. */
+  private[graft] def limitGroup(budgetPerBatch: Int)(
+      host: String,
+      rows: Iterator[(String, String)],
+      state: org.apache.spark.sql.streaming.GroupState[HostState]): Iterator[GrantDecision] = {
+    val st = state.getOption.getOrElse(HostState(0L, 0L))
+    val base = st.granted
+    val k = math.max(budgetPerBatch, 0)
+    // max-heap of the k lexicographically-smallest urls so far
+    val heap = new java.util.PriorityQueue[String](
+      math.max(k, 1), java.util.Collections.reverseOrder[String]())
+    var deferredN = 0L
+    def deferRow(u: String, hostTotal: Long): Iterator[GrantDecision] = {
+      deferredN += 1
+      // state BEFORE emit: a partial drain sees deferred ≥ rows emitted
+      state.update(HostState(base, st.deferred + deferredN))
+      Iterator.single(GrantDecision(host, u, granted = false, hostTotal))
+    }
+    val deferred: Iterator[GrantDecision] = rows.flatMap { case (_, u) =>
+      if (k == 0) deferRow(u, base)
+      else if (heap.size < k) { heap.add(u); Iterator.empty }
+      else {
+        // ties defer the incoming url — same multiset of grants as
+        // sorted.take(k) (k smallest with multiplicity)
+        val out = if (u.compareTo(heap.peek) < 0) {
+          val ev = heap.poll(); heap.add(u); ev
+        } else u
+        deferRow(out, base + k)
+      }
+    }
+    val granted: Iterator[GrantDecision] = new Iterator[GrantDecision] {
+      private var inner: Iterator[GrantDecision] = null
+      private def it: Iterator[GrantDecision] = {
+        if (inner == null) {
+          // drain the max-heap (descending) into ascending order
+          val g = new Array[String](heap.size)
+          var i = g.length - 1
+          while (i >= 0) { g(i) = heap.poll(); i -= 1 }
+          state.update(HostState(base + g.length, st.deferred + deferredN))
+          inner = g.iterator.zipWithIndex.map { case (u, j) =>
+            GrantDecision(host, u, granted = true, base + j + 1)
           }
-          val granted: Iterator[GrantDecision] = new Iterator[GrantDecision] {
-            private var inner: Iterator[GrantDecision] = null
-            private def it: Iterator[GrantDecision] = {
-              if (inner == null) {
-                // drain the max-heap (descending) into ascending order
-                val g = new Array[String](heap.size)
-                var i = g.length - 1
-                while (i >= 0) { g(i) = heap.poll(); i -= 1 }
-                state.update(HostState(base + g.length, st.deferred + deferredN))
-                inner = g.iterator.zipWithIndex.map { case (u, j) =>
-                  GrantDecision(host, u, granted = true, base + j + 1)
-                }
-              }
-              inner
-            }
-            def hasNext: Boolean = it.hasNext
-            def next(): GrantDecision = it.next()
-          }
-          deferred ++ granted
-        })
+        }
+        inner
+      }
+      def hasNext: Boolean = it.hasNext
+      def next(): GrantDecision = it.next()
+    }
+    deferred ++ granted
   }
 
   /** Drain a seed-list directory as a stream of micro-batches: each

@@ -136,6 +136,38 @@ class StreamingSpec extends SparkSpec {
     assert(b2.forall(_.granted) && b2.map(_.host_total_granted).sorted.toSeq == Seq(4L, 5L))
   }
 
+  test("limiter drain contract: emitted rows never ahead of state, even on partial drains") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def freshState() = TestGroupState.create[Streaming.HostState](
+      Optional.empty[Streaming.HostState](), GroupStateTimeout.NoTimeout, 1L,
+      Optional.empty[Long](), hasTimedOut = false)
+    def freshRows() = (9 to 0 by -1).map(i => ("h", s"u$i")).iterator
+    // full drain, one pull at a time: after EVERY emitted row the state
+    // must already cover it (state ≥ emitted at every output prefix — the
+    // invariant a downstream early-exit relies on, since group state
+    // commits whatever was last update()d)
+    val state = freshState()
+    val out = Streaming.limitGroup(2)("h", freshRows(), state)
+    var emittedDeferred = 0L
+    var emittedGranted = 0L
+    while (out.hasNext) {
+      val d = out.next()
+      if (d.granted) emittedGranted += 1 else emittedDeferred += 1
+      assert(state.get.deferred >= emittedDeferred,
+        s"state.deferred ${state.get.deferred} behind emitted $emittedDeferred")
+      assert(state.get.granted >= emittedGranted)
+    }
+    assert(state.get == Streaming.HostState(2L, 8L)) // exact totals when fully drained
+    // partial drain (downstream stops after 3 rows): state still covers
+    // every row that escaped
+    val state2 = freshState()
+    val out2 = Streaming.limitGroup(2)("h", freshRows(), state2)
+    val taken = out2.take(3).toList
+    assert(taken.count(!_.granted) <= state2.get.deferred,
+      "a partially-drained group left emitted deferrals unaccounted in state")
+  }
+
   test("maintained gate falls back to exact over a seen chain with unkeyed commits") {
     import graft.seen.ShardStore
     import org.apache.spark.sql.functions.lit
