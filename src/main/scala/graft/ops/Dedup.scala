@@ -177,6 +177,131 @@ object Dedup {
       .drop("__bn")
   }
 
+  /** Connected components over near-dup PAIRS — the transitive-closure
+    * stage every production MinHash pipeline runs after pair verification:
+    * A~B and B~C must collapse to ONE survivor even when A and C never
+    * share a bucket. Alternating large-star / small-star (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log² n) rounds REGARDLESS of component
+    * diameter (plain min-label propagation needs O(diameter) rounds — a
+    * chain of boilerplate-near-dup pages can be arbitrarily long), each
+    * round is two self-shuffles of the EDGE set only (O(pairs), not
+    * O(corpus)), no driver-side union-find, nothing collected.
+    *
+    * Input: (id_a, id_b) candidate/verified pairs (any extra columns
+    * ignored). Output: one row per node that appears in any non-self pair
+    * — (doc_id, component_rep) with component_rep = min(id) of the
+    * connected component (mirroring [[exact]]'s min-id survivor rule).
+    *
+    * Convergence detection: a round that leaves the edge multiset's
+    * (count, xxhash64-sum) unchanged is a fixed point — and the only
+    * fixed points of the composed round are min-rooted star forests.
+    * Throws after `maxIter` rounds rather than returning an unconverged
+    * (wrong) labelling; the O(log² n) bound makes the default
+    * unreachable for any real pair set.
+    *
+    * Lineage is TRUNCATED every round (checkpoint): each star operator
+    * references its input several times (both edge directions plus the
+    * min-side join), so without truncation the logical plan grows
+    * ~6× PER ROUND and Catalyst analysis alone goes exponential — the
+    * iteration appears to hang long before memory is a problem. A
+    * reliable checkpoint is used when the session has a checkpoint dir
+    * configured (the cluster posture: survives executor loss);
+    * otherwise `localCheckpoint` (executor-block-backed, fine for
+    * local mode; blocks are freed by the ContextCleaner once a round's
+    * Dataset is unreferenced). */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncated(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+
+    // canonical undirected edges u < v; self-pairs and null ids dropped
+    val init = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull && col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).cast("long").as("u"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("v"))
+      .distinct()
+
+    // large-star: every node attaches its STRICTLY LARGER neighbors to the
+    // minimum of its closed neighborhood. One shuffle (groupBy u); the
+    // min-side join rides the same hash partitioning.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")) // m ≤ old u < v keeps u < v canonical
+        .distinct()
+    }
+
+    // small-star: every node attaches its smaller neighbors AND itself to
+    // the minimum of that set. Edges arrive canonical (u < v), so "bigger
+    // node's smaller neighbors" = group by v.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      val leaves = e.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val centers = mins.select(col("m").as("u"), col("v"))
+      leaves.union(centers).distinct()
+    }
+
+    // multiset identity probe: count + order-independent hash sum. Equal
+    // across a round ⇒ fixed point (collision odds ~2⁻⁶⁴, and the round
+    // bound below still backstops). The sum runs in DECIMAL(38,0): ANSI
+    // mode (Spark 4 default) throws on the long overflow a sum of random
+    // 64-bit hashes is guaranteed to hit.
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var edges = truncated(init)
+    var sig = checksum(edges)
+    var converged = sig._1 == 0L // no edges ⇒ nothing to iterate
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = truncated(smallStar(largeStar(edges))) // eager: materialized here
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pair graph far beyond the O(log² n) bound; raise maxIter")
+
+    // converged edges are min-rooted stars: children labelled by root,
+    // plus one row per root labelling itself
+    edges.select(col("v").as("doc_id"), col("u").as("component_rep"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
+  }
+
+  /** One survivor per duplicate cluster: collapse `docs` by the connected
+    * components of `pairs`, keeping the min-id row of each component (and
+    * every row that appears in no pair). The anti-join's right side is the
+    * non-survivor id list — O(duplicate rows), far smaller than the
+    * corpus, so AQE broadcasts it when it fits and falls back to a
+    * shuffled anti join when a 100 TB crawl's dup set does not. */
+  def collapseNearDups(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("doc_id") =!= col("component_rep"))
+      .select(col("doc_id").as("__loser_id"))
+    docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join
     * never goes quadratic. */

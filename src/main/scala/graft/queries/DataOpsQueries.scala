@@ -24,6 +24,23 @@ object DataOpsQueries {
   private def quantized(vec: org.apache.spark.sql.Column) =
     transform(vec, e => round(e.cast("double") * 1000).cast("long"))
 
+  /** Multi-signal near-dup edge set over a docs frame: MinHash-LSH
+    * candidates verified by exact integer jaccard (j ≥ 0.8) UNION simhash
+    * pairs within hamming 6 of the cross-engine 60-bit token hash — the
+    * two text-near-dup detectors voting into ONE pair graph, which is what
+    * [[graft.ops.Dedup.connectedComponents]] then collapses (d9/e1). */
+  private def nearDupPairs(docs: DataFrame): DataFrame = {
+    val lsh = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+    val mh = Dedup.jaccardVerify(docs, lsh.select("id_a", "id_b"), "text", "doc_id")
+      .filter(col("jaccard_den") > 0 && col("jaccard_num") * 5 >= col("jaccard_den") * 4)
+      .select("id_a", "id_b")
+    val sh = Dedup.simhashCandidates(docs, "text", "doc_id",
+        maxHamming = 6, numBands = 8, bits = 60,
+        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+      .select("id_a", "id_b")
+    mh.unionByName(sh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------- dedup family --
     // d1 exact dedup lives in SparkEntry batch 1.
@@ -79,6 +96,37 @@ object DataOpsQueries {
           transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
       graft.ops.Dedup.embeddingNearDup(emb.union(planted), "vec_id", "embedding", 0.95)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    // Transitive closure over the multi-signal near-dup pair graph — the
+    // stage every production dedup pipeline runs after pair verification
+    // (A~B, B~C must collapse even when A,C never share a bucket). The
+    // DuckDB oracle is a recursive-CTE reachability closure over the SAME
+    // pair set; equality proves the distributed large-star/small-star
+    // iteration labels every node with its true component minimum.
+    "d9_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(nearDupPairs(Fixture.documents(s, dir)))),
+
+    // End-to-end corpus-build composition — the query a training-data user
+    // actually runs, all within ONE lazy plan chain (no driver round-trip
+    // between stages): exact dedup survivors → near-dup collapse (connected
+    // components over the multi-signal pair graph, min-id survivor) →
+    // quality + Gopher-repetition filter (integer cross-multiplied
+    // threshold: top word ≤ 20% of the doc) → deterministic stratified
+    // sample of 5 docs per source.
+    "e1_corpus_pipeline" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val keepIds = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val exactSurvivors = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val collapsed = Dedup.collapseNearDups(
+        exactSurvivors, "doc_id", nearDupPairs(exactSurvivors))
+      val filtered = collapsed
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("__r", graft.functions.graftfns.repetitionStats(col("text")))
+        .filter(col("quality") >= 0.7 &&
+          col("__r").getItem(2) * 5 <= col("__r").getItem(0))
+      graft.ops.Sampling.stratifiedSample(filtered, "source", "doc_id", k = 5)
     }),
 
     // ------------------------------------------------ similarity search --
@@ -257,22 +305,81 @@ object DataOpsQueries {
       |  FROM scored)
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos6, rk FROM ranked WHERE rk <= 10""".stripMargin
 
+  /** Brute-force all-pairs 3-shingle jaccard with the exact integer
+    * threshold, over any source table — equality proves the Spark LSH
+    * path has recall 1.0 here. Shared by d2 (directly) and d9/e1 (as the
+    * MinHash half of their edge CTE). */
+  private def mhPairsSqlFor(table: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM $table)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_num,
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_den
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard_num, jaccard_den FROM p
+       |WHERE jaccard_den > 0 AND jaccard_num * 5 >= jaccard_den * 4""".stripMargin
+
+  /** Recursive-CTE connected components over the multi-signal pair graph
+    * (MinHash-verified ∪ simhash-hamming≤6) of `table` — the closure the
+    * d9 query and e1's collapse stage must reproduce. Emits
+    * (doc_id, component_rep). */
+  private def componentsSqlFor(table: String): String =
+    s"""mh AS (${mhPairsSqlFor(table)}),
+       |sh AS (${SimhashOracle.sqlFor(table)}),
+       |edges0 AS (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM sh),
+       |e AS (SELECT id_a AS u, id_b AS v FROM edges0
+       |      UNION SELECT id_b AS u, id_a AS v FROM edges0),
+       |reach(u, v) AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) nodes
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS component_rep FROM reach GROUP BY u)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // Brute-force all-pairs 3-shingle jaccard with the exact integer
-    // threshold — equality proves the Spark LSH path has recall 1.0 here.
-    "d2_minhash_lsh" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |        FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_num,
-        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jaccard_den
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard_num, jaccard_den FROM p
-        |WHERE jaccard_den > 0 AND jaccard_num * 5 >= jaccard_den * 4""".stripMargin,
+    "d2_minhash_lsh" -> mhPairsSqlFor("documents"),
+
+    "d9_dedup_components" ->
+      s"""WITH RECURSIVE
+         |${componentsSqlFor("documents")}
+         |SELECT doc_id, component_rep FROM comp""".stripMargin,
+
+    // composed corpus-build pipeline: every stage is the SQL twin of the
+    // corresponding Spark operator, chained over the same intermediate
+    // sets (exact survivors → component collapse → quality/repetition
+    // filter → hash-ranked stratified sample)
+    "e1_corpus_pipeline" ->
+      s"""WITH RECURSIVE
+         |surv AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)) k
+         |    ON d.doc_id = k.kid),
+         |${componentsSqlFor("surv")},
+         |collapsed AS (
+         |  SELECT s.* FROM surv s LEFT JOIN comp c ON s.doc_id = c.doc_id
+         |  WHERE c.doc_id IS NULL OR c.component_rep = s.doc_id),
+         |q AS (${TextOracle.qualitySqlFor("collapsed")}),
+         |wstats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_word_count
+         |  FROM (SELECT doc_id, word, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM collapsed)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |filtered AS (
+         |  SELECT c.source, c.doc_id,
+         |    CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+         |  FROM collapsed c
+         |  JOIN q ON q.doc_id = c.doc_id
+         |  JOIN wstats w ON w.doc_id = c.doc_id
+         |  WHERE q.quality >= 0.7 AND w.max_word_count * 5 <= w.n_words),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+         |  FROM filtered)
+         |SELECT source, doc_id, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "d3_simhash" -> SimhashOracle.sql,
 
@@ -383,7 +490,7 @@ object DataOpsQueries {
   * per-bit ±1 majority, packed signature, brute-force all-pairs hamming —
   * generated mechanically (one CASE per bit) like [[TextOracle]]. */
 object SimhashOracle {
-  val sql: String = {
+  def sqlFor(table: String): String = {
     val bits = 60
     val sigTerms = (0 until bits).map { b =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
@@ -391,7 +498,7 @@ object SimhashOracle {
     s"""WITH h AS (
        |  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),
        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
-       |  FROM documents),
+       |  FROM $table),
        |s AS (SELECT doc_id,
        |    $sigTerms
        |  AS sig FROM h)
@@ -400,6 +507,8 @@ object SimhashOracle {
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
   }
+
+  val sql: String = sqlFor("documents")
 }
 
 /** DuckDB twins of the TextAnalysis Column expressions — kept mechanical:
@@ -432,7 +541,7 @@ object TextOracle {
   private val tokenCountSql0 =
     s"CASE WHEN length($normTextSql) = 0 THEN 0 ELSE ${occ(normTextSql, " ")} + 1 END"
 
-  val qualitySql: String = {
+  def qualitySqlFor(table: String): String = {
     val toks = tokenCountSql0
     val punct = s"(${occ("text", ".")} + ${occ("text", ",")} + ${occ("text", "!")})"
     // literals cast to DOUBLE: a bare 0.4 is DECIMAL in DuckDB but DOUBLE
@@ -443,8 +552,10 @@ object TextOracle {
        |    (CASE WHEN $toks >= 5 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) +
        |    (CASE WHEN CAST($punct AS DOUBLE) / greatest(CAST($toks AS DOUBLE), CAST(1.0 AS DOUBLE)) <= CAST(0.3 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
        |  , 1) AS quality
-       |FROM documents""".stripMargin
+       |FROM $table""".stripMargin
   }
+
+  val qualitySql: String = qualitySqlFor("documents")
 
   val tokenCountSql: String = {
     val chars = "length(regexp_replace(text, '\\s+', '', 'g'))"

@@ -232,4 +232,47 @@ class OpsSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("Window"),
       "stratified sample must not plan a window sort")
   }
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: A~B, B~C collapse transitively even though A≁C") {
+    // the pair set a banded LSH emits when A,C never share a bucket
+    val got = components(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: star-merging, duplicate/reversed/self pairs, empty input") {
+    // two stars joined by one bridge edge; noisy input: reversed duplicates
+    // and a self-pair must not perturb anything
+    val pairs = Seq((5L, 1L), (5L, 2L), (9L, 7L), (9L, 8L), (2L, 7L),
+      (1L, 5L), (5L, 5L), (5L, 1L))
+    val got = components(pairs)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+    assert(components(Seq.empty).isEmpty)
+  }
+
+  test("connected components: long path converges within the O(log² n) round bound") {
+    // a 200-node path is the diameter worst case — plain min-label
+    // propagation would need ~200 rounds; large-star/small-star must land
+    // well inside a tight budget (maxIter=12 ≫ log²(200)/const but ≪ 200)
+    val path = (0L until 199L).map(i => (i, i + 1))
+    import spark.implicits._
+    val got = Dedup.connectedComponents(path.toDF("id_a", "id_b"), maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("collapseNearDups keeps one survivor per cluster and every untouched row") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.collapseNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {1,2,3}→1 and {6,7}→6; 4,5,8 never paired → all kept
+    assert(kept == Set(1L, 4L, 5L, 6L, 8L))
+  }
 }
