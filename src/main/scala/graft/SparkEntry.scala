@@ -140,6 +140,24 @@ object SparkEntry {
         .select("canonical_url", "host", "priority", "seed_rank")
     }),
 
+    // Batch twin of the STATEFUL host limiter (streaming/Streaming.scala:
+    // statefulHostLimiter — the flatMapGroupsWithState politeness budget
+    // that survives across micro-batches). Batch execution runs the same
+    // bounded-heap group kernel with empty state, so its admission
+    // semantics (k lexicographically-smallest granted, rest deferred with
+    // host_total pinned at the budget) are DuckDB-expressible as a window
+    // rank — the one engine capability that previously had specs but no
+    // driver-surface row. Cross-batch state carry is StreamingSpec's job.
+    "l1_host_limiter" -> ((s, dir) => {
+      import s.implicits._
+      val cand = Fixture.frontier(s, dir).select(
+          UrlCanon.hostOf(col("url")).as("host"),
+          UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+        .distinct()
+        .as[(String, String)]
+      graft.streaming.Streaming.statefulHostLimiter(cand, budgetPerBatch = 3).toDF()
+    }),
+
     // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
     // re-read → project. The oracle sees the ORIGINAL table, so a green row
     // proves the round trip is byte-faithful (text goes through an md5 so
@@ -252,6 +270,21 @@ object SparkEntry {
          |LEFT JOIN (SELECT canonical_url, allowed FROM matched WHERE rn = 1) v
          |  ON c.canonical_url = v.canonical_url
          |WHERE v.allowed IS NULL OR v.allowed""".stripMargin,
+
+    // window-rank twin of the bounded-heap admission kernel: grants = the
+    // budget smallest urls per host (rank as running total), deferrals
+    // carry base+budget when the group exceeded the budget (deferrals
+    // exist only then, and base = 0 in a fresh batch)
+    "l1_host_limiter" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |cand AS (SELECT DISTINCT host, canonical_url FROM cfrontier),
+         |r AS (
+         |  SELECT host, canonical_url,
+         |    row_number() OVER (PARTITION BY host ORDER BY canonical_url) AS rk
+         |  FROM cand)
+         |SELECT host, canonical_url, rk <= 3 AS granted,
+         |  CAST(CASE WHEN rk <= 3 THEN rk ELSE 3 END AS BIGINT) AS host_total_granted
+         |FROM r""".stripMargin,
 
     // the oracle reads the ORIGINAL documents table — equality proves the
     // export → re-read round trip lost nothing

@@ -202,6 +202,74 @@ object Ivf {
       s"""{"cid":$cid,"c":[${cv.mkString(",")}]}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/_centroids.json"), json)
+    // quantization baseline for the append-path staleness bound: the
+    // corpus's mean squared distance to its assigned centroid. One extra
+    // agg over a corpus that was just fully scanned for the write —
+    // amortized into the (rare) index build.
+    val baseMean = meanAssignDist2(corpus, centroids, vecCol)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/_index_meta.json"),
+      s"""{"mean_assign_dist2":$baseMean}""")
+  }
+
+  /** mean squared distance of each row's vector to its NEAREST centroid
+    * (the coarse quantizer's per-row quantization error). */
+  private def meanAssignDist2(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      vecCol: String): Double =
+    df.select(array_min(array(centroids.map { case (_, cv) =>
+        dist2(col(vecCol), cv)
+      }: _*)).as("d"))
+      .agg(coalesce(avg(col("d")), lit(0.0))).head().getDouble(0)
+
+  /** What [[appendToIndex]] measured about the batch it folded in. */
+  final case class AppendReport(
+      batchRows: Long,
+      batchMeanDist2: Double,
+      baseMeanDist2: Double,
+      stale: Boolean)
+
+  /** Incrementally APPEND a crawl batch's vectors into a MATERIALIZED
+    * index — the growing-corpus maintenance path ([[writeIndex]] is
+    * write-once; at the 10^10 regime the corpus grows per batch and a
+    * full rebuild per batch is the same O(corpus)-vs-O(batch) trap
+    * [[graft.seen.CuckooSeen.insert]] exists to kill). Centroids stay
+    * FIXED: new vectors are assigned and written `mode=append` under
+    * their `cluster=` directories, so only directories owning new
+    * vectors gain files, existing files are untouched, probe routing is
+    * unchanged, and append ≡ rebuild-at-fixed-centroids row-for-row
+    * (ScaleAnnSpec).
+    *
+    * Staleness bound: with frozen centroids the thing that degrades as
+    * the corpus drifts is RECALL (quantization error grows; correctness
+    * of returned cosines never suffers). The report compares the batch's
+    * mean squared assignment distance against the build-time baseline;
+    * `stale` trips when it exceeds `staleFactor` × baseline — the
+    * caller's signal to retrain + rewrite (cheap to check per batch:
+    * O(batch × nlist × dims), the same cost as the assignment itself). */
+  def appendToIndex(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      staleFactor: Double = 4.0): AppendReport = {
+    val centroids = readIndexCentroids(path)
+    val batch = newVectors.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = batch.count()
+      assign(batch, centroids, vecCol)
+        .write.mode("append").partitionBy("cluster").parquet(path)
+      val batchMean = if (n == 0) 0.0 else meanAssignDist2(batch, centroids, vecCol)
+      val baseMean = {
+        val p = java.nio.file.Paths.get(s"$path/_index_meta.json")
+        if (java.nio.file.Files.exists(p))
+          "\"mean_assign_dist2\":([0-9.eE+-]+)".r
+            .findFirstMatchIn(java.nio.file.Files.readString(p))
+            .map(_.group(1).toDouble).getOrElse(Double.NaN)
+        else Double.NaN
+      }
+      AppendReport(n, batchMean, baseMean,
+        stale = !baseMean.isNaN && baseMean > 0 && batchMean > staleFactor * baseMean)
+    } finally {
+      batch.unpersist()
+      ()
+    }
   }
 
   def readIndexCentroids(path: String): Seq[(Int, Seq[Double])] = {

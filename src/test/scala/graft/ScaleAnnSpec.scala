@@ -110,4 +110,43 @@ class ScaleAnnSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
       s"no partition pruning in plan:\n${plan.take(2000)}")
   }
+
+  test("IVF incremental append: append == rebuild at fixed centroids, probe stays pruned, staleness trips on drift") {
+    import spark.implicits._
+    val nlist = 16
+    val nprobe = 4
+    // base = first 4000 vectors; batch = the remaining 1000 (same
+    // distribution — the steady-state crawl batch)
+    val base = corpus.filter(col("vec_id") < 4000)
+    val batch = corpus.filter(col("vec_id") >= 4000)
+    val cents = Ivf.train(base, nlist)
+    val path = java.nio.file.Files.createTempDirectory("ivfappend").toString + "/index"
+    Ivf.writeIndex(base, cents, path)
+    val report = Ivf.appendToIndex(batch, path)
+    assert(report.batchRows == batch.count())
+    assert(!report.stale,
+      s"in-distribution batch flagged stale: $report")
+    // append ≡ rebuild at fixed centroids: identical (vec_id, cluster) rows
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfrebuild").toString + "/index"
+    Ivf.writeIndex(corpus, cents, rebuilt)
+    val gotRows = spark.read.parquet(path).select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rebuiltRows = spark.read.parquet(rebuilt).select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotRows == rebuiltRows, "appended index diverged from a rebuild")
+    // probes over the appended index: still partition-pruned, and row-equal
+    // to the in-memory plan over the full corpus
+    val indexed = Ivf.topKIndexed(path, queries, 10, nprobe, cents)
+    val direct = Ivf.topK(corpus, queries, 10, nlist, nprobe, centroids = Some(cents))
+    assert(indexed.collect().toSet == direct.collect().toSet)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined)
+    // a DRIFTED batch (far outside the training distribution) must trip
+    // the staleness bound — the retrain signal
+    val drifted = (0 until 200).map { i =>
+      (100000L + i, Array.tabulate(Dims)(d => 50.0f + unit(i * 131L + d)))
+    }.toDF("vec_id", "embedding")
+    val driftReport = Ivf.appendToIndex(drifted, path)
+    assert(driftReport.stale, s"drifted batch not flagged: $driftReport")
+  }
 }
