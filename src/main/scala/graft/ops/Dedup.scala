@@ -215,8 +215,11 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // NON-eager: the checkpoint materializes inside the round's checksum
+    // action — one job per round instead of a materialize job + a
+    // checksum job
     def truncated(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
     // canonical undirected edges u < v; self-pairs and null ids dropped
     val init = pairs
@@ -267,7 +270,7 @@ object Dedup {
     var converged = sig._1 == 0L // no edges ⇒ nothing to iterate
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = truncated(smallStar(largeStar(edges))) // eager: materialized here
+      val next = truncated(smallStar(largeStar(edges))) // materializes in checksum()
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
