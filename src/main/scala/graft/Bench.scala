@@ -7,7 +7,8 @@ import graft.pipeline.CrawlPipeline
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "frontier":{...},"scaling":{...}}
+  *  "frontier":{...},"frontier10x":{...},"maintenance":{...},"gate":{...},
+  *  "band_maintenance":{...},"scaling":{...}}
   *
   *  - `queries`: per-operator wall seconds on SPARK_GRAFT_SF_DIR (driver
   *    contract; run after a warm-up pass so JIT/session setup is not
@@ -232,7 +233,7 @@ object Bench {
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (String, String, String, String) = {
+    def mainSections(): (String, String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -374,11 +375,61 @@ object Bench {
     }
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes""")
-    (frontierJson, frontier10x, maintenance, gateShapes)
+
+    // -- band-store maintenance: near-dup index upkeep is O(batch) --------
+    // The dedup twin of the seen-filter maintenance evidence above:
+    // re-banding the whole signature corpus per crawl batch (rebuild_sec,
+    // the naive alternative) vs BandStore.append folding ONLY the batch
+    // (append_sec), plus a probe of perturbed signatures against the
+    // stored corpus (probe_sec; every probe row is 2 bits from its source,
+    // so probe_pairs >= the probe batch size sanity-checks recovery at
+    // bench scale). Corpus/batch ratio 32:1, same reasoning as the seen
+    // section: small ratios hide the O(corpus)-vs-O(batch) gap behind
+    // fixed per-job overhead.
+    val bandMaint = {
+      import org.apache.spark.sql.functions._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nSig = benchUrls
+      val nBatch = benchUrls / 32
+      val sigs = spark.range(0, nSig)
+        .select(col("id"), xxhash64(col("id")).as("sig")).persist(lvl)
+      sigs.count()
+      val batchB = spark.range(nSig, nSig + nBatch)
+        .select(col("id"), xxhash64(col("id")).as("sig")).persist(lvl)
+      batchB.count()
+      val root = java.nio.file.Files.createTempDirectory("band-maint").toString
+      val store = root + "/store"
+      graft.ops.BandStore.write(sigs, "id", "sig", store,
+        numBands = 8, bits = 64, prefixBits = 4) // the existing index, untimed
+      def min2(f: => Unit): Double = math.min(time(f), time(f))
+      val tRebuild = min2 {
+        graft.ops.BandStore.write(sigs.unionByName(batchB), "id", "sig",
+          root + "/rebuild", numBands = 8, bits = 64, prefixBits = 4)
+      }
+      val tAppend = min2 {
+        graft.ops.BandStore.append(batchB, "id", "sig", store)
+      }
+      val kProbe = math.max(nBatch / 8, 1000L)
+      val probeB = spark.range(0, kProbe)
+        .select(col("id"), xxhash64(col("id")).bitwiseXOR(lit(3L)).as("sig")).persist(lvl)
+      probeB.count()
+      var probePairs = 0L
+      val tProbe = min2 {
+        probePairs = graft.ops.BandStore.probe(probeB, "id", "sig", store,
+          maxHamming = 6).count()
+      }
+      sigs.unpersist(); batchB.unpersist(); probeB.unpersist()
+      s"""{"corpus":$nSig,"batch":$nBatch,"rebuild_sec":$tRebuild,""" +
+      s""""append_sec":$tAppend,"probe_batch":$kProbe,"probe_sec":$tProbe,""" +
+      s""""probe_pairs":$probePairs}"""
+    }
+    checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
+      s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint""")
+    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint)
     } // mainSections
 
-    val (frontierJson, frontier10x, maintenance, gateShapes) =
-      if (scaleOnly) ("null", "null", "null", "null")
+    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint) =
+      if (scaleOnly) ("null", "null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -542,7 +593,7 @@ object Bench {
       s""""external_runnable":[${runnables.mkString(",")}],""" +
       s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

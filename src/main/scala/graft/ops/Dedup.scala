@@ -145,16 +145,7 @@ object Dedup {
   def hammingCandidates(df: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, numBands: Int, bits: Int = 64,
       maxBucket: Int = 100000): DataFrame = {
-    val bandBits = (bits + numBands - 1) / numBands
-    val bandCols = (0 until numBands).map { b =>
-      val width = math.min(bandBits, bits - b * bandBits)
-      val mask = if (width >= 64) -1L else (1L << width) - 1
-      struct(lit(b).as("band"),
-        shiftright(col("__sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
-    }
-    val base = df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
-    val banded = base.select(col("id"), col("__sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("__sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandRows(df, idCol, sigCol, numBands, bits)
     val bounded = boundBuckets(banded, maxBucket)
     val a = bounded.as("a")
     val b = bounded.as("b")
@@ -164,6 +155,25 @@ object Dedup {
         bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Band a packed `bits`-wide signature into `numBands` contiguous bit
+    * slices: one row per (row, band) as (id, __sig, band, bucket) — the
+    * shared derivation under [[hammingCandidates]]'s self-join and
+    * [[BandStore]]'s persistent index (both MUST band identically or a
+    * store probe looks in the wrong buckets). Row-local, codegen'd. */
+  private[graft] def bandRows(df: DataFrame, idCol: String, sigCol: String,
+      numBands: Int, bits: Int): DataFrame = {
+    val bandBits = (bits + numBands - 1) / numBands
+    val bandCols = (0 until numBands).map { b =>
+      val width = math.min(bandBits, bits - b * bandBits)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
+    }
+    df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+      .select(col("id"), col("__sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("__sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Drop rows of (…, band, bucket) whose bucket exceeds `maxBucket` rows.

@@ -29,6 +29,26 @@ object DataOpsQueries {
     * pairs within hamming 6 of the cross-engine 60-bit token hash — the
     * two text-near-dup detectors voting into ONE pair graph, which is what
     * [[graft.ops.Dedup.connectedComponents]] then collapses (d9/e1). */
+  /** Cross-engine 60-bit md5-prefix token hash (shared with d3's simhash
+    * and the s1 rank hash — the repo's standard DuckDB-reproducible hash). */
+  private def md5TokenHash(t: org.apache.spark.sql.Column) =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, sig): the d3-identical 60-bit simhash of a docs frame —
+    * the signature the d11 band store persists and probes. */
+  private def simhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Dedup.simhashFromHashes(
+        transform(split(lower(trim(col("text"))), "\\s+"), t => md5TokenHash(t)), 60).as("sig"))
+
+  /** Band-store location, scoped per (session, sf dir) under the bench
+    * store root (stale entries age out via Bench.sweepStaleStores). */
+  private def bandStorePath(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sess = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
+    s"/tmp/graft-store/bandstore_${tag}_$sess"
+  }
+
   private def nearDupPairs(docs: DataFrame): DataFrame = {
     val lsh = Dedup.minhashLshCandidates(docs, "text", "doc_id")
     val mh = Dedup.jaccardVerify(docs, lsh.select("id_a", "id_b"), "text", "doc_id")
@@ -127,6 +147,59 @@ object DataOpsQueries {
         .filter(col("quality") >= 0.7 &&
           col("__r").getItem(2) * 5 <= col("__r").getItem(0))
       graft.ops.Sampling.stratifiedSample(filtered, "source", "doc_id", k = 5)
+    }),
+
+    // Image phash near-dup over the synthesized image corpus (the graft
+    // cell's primary payload): decode → 64-bit average-hash → the SAME
+    // banded hamming engine as d3, signature-generic by construction.
+    // The fixture plants cross-format duplicates arithmetically (every
+    // 50th image re-encodes the pixels of the image 25 before it in a
+    // DIFFERENT format — Synth.dupSourceOf), so the ground-truth pair set
+    // is known in closed form: the oracle states it directly, like d5's
+    // planted embedding clones. Margins measured over the deterministic
+    // corpus: lossy xjpg re-encodes move phash ≤ 3 bits; the nearest
+    // NON-dup pair sits at hamming 14 — maxHamming 6 recovers exactly
+    // the planted set (pigeonhole-complete at 8 bands).
+    "d10_image_phash" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val imgs = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          graft.functions.graftfns.phash(col("bytes")).as("sig"))
+      Dedup.hammingCandidates(imgs, "id", "sig", maxHamming = 6, numBands = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // Incremental band-store maintenance end-to-end: build the persistent
+    // banding index from half the corpus, APPEND the other half (O(batch),
+    // fixed banding params — the per-crawl-batch maintenance path), then
+    // probe a disjoint "new batch" against it. Oracle = brute-force cross
+    // pairs over the FULL corpus: green means append ≡ rebuild AND the
+    // partition-pruned probe is pigeonhole-exact.
+    "d11_band_store" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val path = bandStorePath(s, dir)
+      graft.ops.BandStore.write(
+        simhashSigs(docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)),
+        "doc_id", "sig", path, numBands = 8, bits = 60, prefixBits = 4)
+      graft.ops.BandStore.append(
+        simhashSigs(docs.filter(col("doc_id") % 10 >= 6)), "doc_id", "sig", path)
+      graft.ops.BandStore.probe(
+        simhashSigs(docs.filter(col("doc_id") % 10 === 0)), "doc_id", "sig", path,
+        maxHamming = 6)
+    }),
+
+    // The image twin of e1: decode → phash → banded hamming near-dup →
+    // connected components → min-id survivor per duplicate cluster, ONE
+    // lazy plan chain. Oracle is the planted structure in closed form
+    // (d10's pair set (i−25, i) forms disjoint 2-components whose min-id
+    // survivor is the source i−25 — the re-encode i is the loser).
+    "e2_image_dedup" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val sigs = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          graft.functions.graftfns.phash(col("bytes")).as("sig"))
+      val pairs = Dedup.hammingCandidates(sigs, "id", "sig", maxHamming = 6, numBands = 8)
+      Dedup.collapseNearDups(sigs.select("id"), "id", pairs)
     }),
 
     // ------------------------------------------------ similarity search --
@@ -383,6 +456,28 @@ object DataOpsQueries {
 
     "d3_simhash" -> SimhashOracle.sql,
 
+    // ground truth of the planted cross-format image dups, in closed form
+    // (Synth.dupSourceOf: every 50th image re-encodes the pixels of i-25);
+    // the engine must RECOVER this set via decode → phash → banded
+    // hamming join — no more (nearest random pair: hamming 14), no fewer
+    // (dup re-encodes stay ≤ 3 bits; maxHamming 6, pigeonhole-complete)
+    // documents.doc_id is dense 0..n-1, so it doubles as the image-id
+    // domain (the engine synthesizes n images; DuckDB's range() cannot
+    // take a subquery bound)
+    "d10_image_phash" ->
+      """SELECT doc_id - 25 AS id_a, doc_id AS id_b
+        |FROM documents
+        |WHERE doc_id % 50 = 49 AND doc_id >= 25""".stripMargin,
+
+    "d11_band_store" -> SimhashOracle.crossSqlFor("documents",
+      "a.doc_id % 10 <> 0", "b.doc_id % 10 = 0", maxHamming = 6),
+
+    // survivors of the planted image dup clusters, in closed form: every
+    // id except the re-encodes (i % 50 = 49, whose pixels copy i−25)
+    "e2_image_dedup" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE NOT (doc_id % 50 = 49 AND doc_id >= 25)""".stripMargin,
+
     // Brute-force all-pairs cosine ≥ 0.95 over the corpus ∪ planted-clone
     // union (FLOAT scaling is IEEE-identical across engines; margins are
     // planted ≈1.0 vs random ≲0.6 — no boundary sensitivity).
@@ -490,23 +585,39 @@ object DataOpsQueries {
   * per-bit ±1 majority, packed signature, brute-force all-pairs hamming —
   * generated mechanically (one CASE per bit) like [[TextOracle]]. */
 object SimhashOracle {
-  def sqlFor(table: String): String = {
+  /** `h AS …, s AS …` CTE text deriving (doc_id, sig) — the 60-bit
+    * signature shared by the self-join oracle (d3), the component edges
+    * (d9/e1), and the band-store cross probe (d11). */
+  def sigCteFor(table: String): String = {
     val bits = 60
     val sigTerms = (0 until bits).map { b =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n    + ")
-    s"""WITH h AS (
+    s"""h AS (
        |  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),
        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
        |  FROM $table),
        |s AS (SELECT doc_id,
        |    $sigTerms
-       |  AS sig FROM h)
+       |  AS sig FROM h)""".stripMargin
+  }
+
+  def sqlFor(table: String): String =
+    s"""WITH ${sigCteFor(table)}
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
-  }
+
+  /** Brute-force CROSS pairs (store rows × batch rows, disjoint by the
+    * given predicates) within `maxHamming` — the d11 band-store oracle. */
+  def crossSqlFor(table: String, storePred: String, batchPred: String,
+      maxHamming: Int): String =
+    s"""WITH ${sigCteFor(table)}
+       |SELECT a.doc_id AS store_id, b.doc_id AS batch_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON ($storePred) AND ($batchPred)
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
 
   val sql: String = sqlFor("documents")
 }

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BandStore, Dedup}
+
+/** Persistent LSH band index (the dedup leg of the incremental-maintenance
+  * triad next to CuckooSeen.insert and Ivf.appendToIndex): append ≡ rebuild
+  * at fixed banding parameters, probe = EXACT cross hamming ball
+  * (pigeonhole), and the probe's store scan is partition-pruned — the
+  * contract that makes per-crawl-batch near-dup maintenance O(batch), not
+  * O(corpus), at 100 TB. */
+class BandStoreSpec extends SparkSpec {
+
+  private def mix(z: Long): Long = graft.imagecodec.ImageCodec.mix64(z)
+
+  /** 400 base signatures (uniform 64-bit, pairwise far apart w.h.p.) plus
+    * 40 planted near-dups: id 1000+i = sig of 10·i with `i % 4` low bits
+    * flipped (hamming 0–3 — inside any maxHamming ≥ 3 ball). */
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val base = (0 until 400).map(i => (i.toLong, mix(i * 2654435761L + 17)))
+    val planted = (0 until 40).map { i =>
+      val src = base(10 * i)._2
+      (1000L + i, src ^ ((1L << (i % 4)) - 1))
+    }
+    (base ++ planted).toDF("id", "sig").repartition(4)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  /** Brute-force cross pairs within maxHamming — the in-suite oracle. */
+  private def bruteCross(store: DataFrame, batch: DataFrame, maxHamming: Int): Set[(Long, Long, Int)] =
+    store.select(col("id").as("store_id"), col("sig").as("ssig"))
+      .crossJoin(batch.select(col("id").as("batch_id"), col("sig").as("bsig")))
+      .select(col("store_id"), col("batch_id"),
+        bit_count(col("ssig").bitwiseXOR(col("bsig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("append == rebuild: identical banded rows, existing files untouched") {
+    val half1 = corpus.filter(col("id") % 2 === 0)
+    val half2 = corpus.filter(col("id") % 2 === 1)
+    val incr = tmp("bandappend")
+    BandStore.write(half1, "id", "sig", incr, numBands = 8, bits = 64, prefixBits = 4)
+    val before = new java.io.File(incr).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap(dd =>
+        Option(dd.listFiles()).getOrElse(Array.empty))).map(f => f.getPath -> f.lastModified()).toMap
+    BandStore.append(half2, "id", "sig", incr)
+    val after = new java.io.File(incr).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap(dd =>
+        Option(dd.listFiles()).getOrElse(Array.empty))).map(f => f.getPath -> f.lastModified()).toMap
+    // O(batch): every pre-existing data file survives byte-identical
+    // (same path, same mtime) — append only ADDS files
+    before.foreach { case (p, m) =>
+      if (p.endsWith(".parquet")) assert(after.get(p).contains(m), s"append rewrote $p")
+    }
+    val full = tmp("bandrebuild")
+    BandStore.write(corpus, "id", "sig", full, numBands = 8, bits = 64, prefixBits = 4)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("id", "sig", "band", "bucket", "bpfx")
+      .collect().map(_.toSeq).toSet
+    assert(rows(incr) == rows(full), "append diverged from a rebuild")
+  }
+
+  test("probe returns EXACTLY the cross hamming ball (pigeonhole, vs brute force)") {
+    val store = corpus.filter(col("id") < 1000)
+    val batch = corpus.filter(col("id") >= 1000)
+    val path = tmp("bandprobe")
+    BandStore.write(store, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    val got = BandStore.probe(batch, "id", "sig", path, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = bruteCross(store, batch, 6)
+    assert(got == want, s"probe=${got.size} pairs, brute=${want.size}")
+    // every planted pair recovered (each 1000+i is within hamming 3 of 10·i)
+    assert((0 until 40).forall(i => got.exists(p => p._1 == 10L * i && p._2 == 1000L + i)))
+  }
+
+  test("probe's store scan is partition-pruned (PartitionFilters over band/bpfx)") {
+    val store = corpus.filter(col("id") < 1000)
+    // a tiny batch touches few (band, bpfx) dirs — the pruning payoff
+    val batch = corpus.filter(col("id") === 1000L)
+    val path = tmp("bandprune")
+    BandStore.write(store, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    val probe = BandStore.probe(batch, "id", "sig", path, maxHamming = 6)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*(band|bpfx)".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+    // and it still finds its planted source (10·0 = 0)
+    assert(probe.collect().exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000L))
+  }
+
+  test("probe bands with the STORED parameters, not the caller's defaults") {
+    // store written at numBands=10: a probe derives bands from meta, so a
+    // maxHamming of 9 (< 10, but ≥ the write-call default 8) is accepted
+    // and still exact
+    val store = corpus.filter(col("id") < 1000)
+    val batch = corpus.filter(col("id") >= 1000)
+    val path = tmp("bandmeta")
+    BandStore.write(store, "id", "sig", path, numBands = 10, bits = 64, prefixBits = 4)
+    assert(BandStore.readMeta(path) == BandStore.Meta(10, 64, 4))
+    val got = BandStore.probe(batch, "id", "sig", path, maxHamming = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteCross(store, batch, 9))
+  }
+
+  test("streaming foreachBatch ingest over micro-batches reproduces the batch all-pairs ball") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("bandstream")
+    val seeds = java.nio.file.Files.createDirectory(base.resolve("seeds"))
+    val path = base.toString + "/store"
+    // stage 3 flat micro-batch files (modulo-3 split of the planted corpus)
+    (0 until 3).foreach { k =>
+      val tmp = java.nio.file.Files.createTempDirectory("bandstage").toString + "/w"
+      corpus.filter(col("id") % 3 === k).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, seeds.resolve(s"b$k.parquet"))
+      ()
+    }
+    // store initialized EMPTY — the first micro-batch probes a store with
+    // no data files (explicit-schema read, not inference)
+    BandStore.write(corpus.limit(0), "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    var batches = 0
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(seeds.toString)
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches += 1
+        val rel = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+        val pairs = BandStore.ingest(df, "id", "sig", path, maxHamming = 6, register = rel += _)
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        rel.foreach(_.unpersist())
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(batches == 3, s"expected 3 micro-batches, saw $batches")
+    val want = Dedup.hammingCandidates(corpus, "id", "sig", maxHamming = 6, numBands = 8, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == want,
+      s"incremental=${got.size} pairs vs batch=${want.size} — a pair was missed or invented")
+  }
+
+  test("replayed ingest (crash after append) emits identical pairs; later probes unchanged") {
+    val init = corpus.filter(col("id") < 1000)
+    val batch = corpus.filter(col("id") >= 1000 && col("id") < 1020)
+    val later = corpus.filter(col("id") >= 1020)
+    val path = tmp("bandreplay")
+    BandStore.write(init, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    def collectPairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val first = collectPairs(BandStore.ingest(batch, "id", "sig", path, maxHamming = 6))
+    // sanity: the emission is the brute-force pair contribution of the batch
+    assert(first == bruteCross(init, batch, 6)
+      .map { case (a, b, h) => (math.min(a, b), math.max(a, b), h) })
+    val laterBefore = collectPairs(BandStore.probe(later, "id", "sig", path, maxHamming = 6))
+    // replay: batch is already in the store — emission must not change
+    // (no self-pairs, no doubled intra) and neither must later probes
+    val replayed = collectPairs(BandStore.ingest(batch, "id", "sig", path, maxHamming = 6))
+    assert(replayed == first, "replayed ingest diverged from the original emission")
+    val laterAfter = collectPairs(BandStore.probe(later, "id", "sig", path, maxHamming = 6))
+    assert(laterAfter == laterBefore, "doubled store rows leaked into a later probe")
+  }
+
+  test("guards: pigeonhole bound and missing meta fail fast") {
+    val path = tmp("bandguard")
+    BandStore.write(corpus, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    val e = intercept[IllegalArgumentException] {
+      BandStore.probe(corpus, "id", "sig", path, maxHamming = 8) // == numBands: no guarantee
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    intercept[IllegalStateException] {
+      BandStore.readMeta(tmp("bandempty")) // no meta written
+    }
+  }
+}
