@@ -165,12 +165,17 @@ object Bench {
     // throws in the TIMED pass lands in `query_errors` (a broken query must
     // not silently bench ~0s and flatter the total). A clean round emits
     // "query_errors":{}.
-    if (!scaleOnly) SparkEntry.queries.foreach { case (_, fn) =>
+    // opt-in comma-separated query-name filter for local iteration on a
+    // few queries (SPARK_GRAFT_ONLY=d11_band_store,d3_simhash); absent =
+    // the full surface, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchQueries = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    if (!scaleOnly) benchQueries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         var failed = false
         val t = time {
           try fn(spark, sfDir).count()

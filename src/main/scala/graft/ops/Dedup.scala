@@ -153,8 +153,10 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is deterministic per pair, so
+      // pairs beyond the ball never enter the pair-dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Band a packed `bits`-wide signature into `numBands` contiguous bit

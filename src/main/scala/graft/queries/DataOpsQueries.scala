@@ -178,11 +178,19 @@ object DataOpsQueries {
     "d11_band_store" -> ((s, dir) => {
       val docs = Fixture.documents(s, dir)
       val path = bandStorePath(s, dir)
-      graft.ops.BandStore.write(
-        simhashSigs(docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)),
-        "doc_id", "sig", path, numBands = 8, bits = 60, prefixBits = 4)
-      graft.ops.BandStore.append(
-        simhashSigs(docs.filter(col("doc_id") % 10 >= 6)), "doc_id", "sig", path)
+      // the md5-token simhash is the expensive part of these frames, and
+      // the store write scans its input twice (range-clustering sample +
+      // the write itself) — persist for the EAGER write/append, release
+      // before returning the lazy probe (which derives its own sigs)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val half = simhashSigs(docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5))
+        .persist(lvl)
+      val rest = simhashSigs(docs.filter(col("doc_id") % 10 >= 6)).persist(lvl)
+      try {
+        graft.ops.BandStore.write(half, "doc_id", "sig", path,
+          numBands = 8, bits = 60, prefixBits = 4)
+        graft.ops.BandStore.append(rest, "doc_id", "sig", path)
+      } finally { half.unpersist(); rest.unpersist() }
       graft.ops.BandStore.probe(
         simhashSigs(docs.filter(col("doc_id") % 10 === 0)), "doc_id", "sig", path,
         maxHamming = 6)
@@ -200,6 +208,42 @@ object DataOpsQueries {
           graft.functions.graftfns.phash(col("bytes")).as("sig"))
       val pairs = Dedup.hammingCandidates(sigs, "id", "sig", maxHamming = 6, numBands = 8)
       Dedup.collapseNearDups(sigs.select("id"), "id", pairs)
+    }),
+
+    // Cross-modal dedup over image+caption pairs — the LAION-style collapse
+    // a multimodal corpus runs: an item is a duplicate if its PIXELS are
+    // near-identical (decode → phash → banded hamming ball, the d10 leg) OR
+    // its CAPTION is an exact duplicate. Caption assignment plants dups
+    // arithmetically (the d5-embedding-clone pattern, so the signal fires
+    // at EVERY scale factor): image i carries documents.text of doc i−4
+    // when i % 25 == 24, else of doc i — so caption pairs (i−4, i) CHAIN
+    // with the planted pixel pairs (i−25, i at i % 50 == 49) into genuine
+    // cross-modal components, e.g. {20,24,45,49}: 20~24 caption, 24~49
+    // pixels, 45~49 caption ⇒ one survivor 20. The caption leg enters as
+    // STAR pairs to each caption group's min id — O(dup rows) edges even
+    // for mass-duplicated captions, never a quadratic within-group join
+    // (same posture as Dedup.exact); any organic text dups in the corpus
+    // ride the same md5 grouping in both engines.
+    "d12_multimodal_dedup" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val n = docs.count()
+      val sigs = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          graft.functions.graftfns.phash(col("bytes")).as("sig"))
+      val phashPairs = Dedup.hammingCandidates(sigs, "id", "sig",
+          maxHamming = 6, numBands = 8)
+        .select(col("id_a"), col("id_b"))
+      val caps = sigs.select(col("id"))
+        .withColumn("cap_key",
+          when(col("id") % 25 === 24, col("id") - 4).otherwise(col("id")))
+        .join(docs.select(col("doc_id").as("cap_key"), col("text")), "cap_key")
+      val fp = caps.select(md5(col("text").cast("binary")).as("fp"), col("id"))
+      val keep = fp.groupBy("fp").agg(min("id").as("id_a"))
+      val capPairs = fp.join(keep, "fp")
+        .filter(col("id") =!= col("id_a"))
+        .select(col("id_a"), col("id").as("id_b"))
+      Dedup.collapseNearDups(sigs.select("id"), "id",
+        phashPairs.unionByName(capPairs))
     }),
 
     // ------------------------------------------------ similarity search --
@@ -477,6 +521,38 @@ object DataOpsQueries {
     "e2_image_dedup" ->
       """SELECT doc_id AS id FROM documents
         |WHERE NOT (doc_id % 50 = 49 AND doc_id >= 25)""".stripMargin,
+
+    // cross-modal survivors: connected components over (closed-form
+    // planted phash pairs ∪ exact-caption dup star pairs), min-id
+    // survivor — DuckDB rebuilds the caption assignment (image i carries
+    // the text of doc i−4 at i % 25 = 24) and recomputes the caption leg
+    // with its OWN md5 over the assigned text
+    "d12_multimodal_dedup" ->
+      """WITH RECURSIVE
+        |pp AS (SELECT doc_id - 25 AS id_a, doc_id AS id_b FROM documents
+        |       WHERE doc_id % 50 = 49 AND doc_id >= 25),
+        |caps AS (
+        |  SELECT n.doc_id AS id, d.text
+        |  FROM documents n JOIN documents d
+        |    ON d.doc_id = CASE WHEN n.doc_id % 25 = 24
+        |                       THEN n.doc_id - 4 ELSE n.doc_id END),
+        |cp AS (SELECT k.id_a, c.id AS id_b
+        |       FROM caps c
+        |       JOIN (SELECT md5(text) AS fp, min(id) AS id_a
+        |             FROM caps GROUP BY 1) k
+        |         ON md5(c.text) = k.fp
+        |       WHERE c.id <> k.id_a),
+        |edges0 AS (SELECT id_a, id_b FROM pp UNION SELECT id_a, id_b FROM cp),
+        |e AS (SELECT id_a AS u, id_b AS v FROM edges0
+        |      UNION SELECT id_b AS u, id_a AS v FROM edges0),
+        |reach(u, v) AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) nodes
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component_rep FROM reach GROUP BY u)
+        |SELECT d.doc_id AS id FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.component_rep = d.doc_id""".stripMargin,
 
     // Brute-force all-pairs cosine ≥ 0.95 over the corpus ∪ planted-clone
     // union (FLOAT scaling is IEEE-identical across engines; margins are

@@ -275,4 +275,18 @@ class OpsSpec extends SparkSpec {
     // clusters {1,2,3}→1 and {6,7}→6; 4,5,8 never paired → all kept
     assert(kept == Set(1L, 4L, 5L, 6L, 8L))
   }
+
+  test("cross-modal dedup: a pixel pair and a caption pair chain into ONE cluster") {
+    // the d12 semantics in miniature: A~B near-identical pixels (phash),
+    // B~C identical captions — {A,B,C} must collapse to min-id survivor A
+    // even though A,C share neither signal; D is untouched
+    import spark.implicits._
+    val items = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val phashPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val captionPairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.collapseNearDups(items, "id",
+        phashPairs.unionByName(captionPairs))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
 }
