@@ -91,7 +91,11 @@ object BandStore {
   /** Build (overwrite) the store from the current corpus. One row-local
     * banding pass, one range shuffle (see [[clusteredForWrite]]), one
     * write. `prefixBits` trades directory count (numBands × 2^prefixBits)
-    * against probe pruning granularity. */
+    * against probe pruning granularity — and each directory carries a
+    * measured ~16 ms commit/rename floor per write INDEPENDENT of data
+    * (the dynamic-partition commit protocol), so size it to the corpus:
+    * a few thousand rows per expected dir is the useful minimum; more
+    * dirs only pay once probes can actually prune them. */
   def write(corpus: DataFrame, idCol: String, sigCol: String, path: String,
       numBands: Int = 8, bits: Int = 64, prefixBits: Int = 6): Unit = {
     require(numBands >= 1 && bits >= 1 && bits <= 64, s"bad banding ($numBands bands, $bits bits)")

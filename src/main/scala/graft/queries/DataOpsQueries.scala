@@ -187,8 +187,13 @@ object DataOpsQueries {
         .persist(lvl)
       val rest = simhashSigs(docs.filter(col("doc_id") % 10 >= 6)).persist(lvl)
       try {
+        // prefixBits scales with corpus size: each partition dir costs
+        // ~16 ms of commit/rename floor per write REGARDLESS of data
+        // (measured), so a 5k-doc corpus gets 2^2 dirs/band and a 2M-row
+        // store (bench band_maintenance) gets 2^4 — same pruning
+        // machinery, dir count proportional to what the data can fill
         graft.ops.BandStore.write(half, "doc_id", "sig", path,
-          numBands = 8, bits = 60, prefixBits = 4)
+          numBands = 8, bits = 60, prefixBits = 2)
         graft.ops.BandStore.append(rest, "doc_id", "sig", path)
       } finally { half.unpersist(); rest.unpersist() }
       graft.ops.BandStore.probe(
