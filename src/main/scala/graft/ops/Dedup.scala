@@ -300,6 +300,39 @@ object Dedup {
       .unionByName(edges.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
   }
 
+  /** Incrementally fold NEW near-dup pairs into an existing component
+    * labelling — the cluster-label leg of the engine's incremental-
+    * maintenance story (seen-set: CuckooSeen.insert; ANN: Ivf
+    * .appendToIndex; band index: BandStore.append; THIS: the labels a
+    * crawl batch's [[BandStore.ingest]] pairs must update). Re-closing
+    * the full historical pair multiset per batch is O(all pairs ever);
+    * here the stored labelling stands in for history as its STAR edges
+    * (component_rep → doc_id, one per labelled node — spanning exactly
+    * the same components, rooted at each component's min), so the
+    * iteration runs over O(labelled nodes + new pairs) edges and, the
+    * stars being depth-1, converges in a couple of rounds unless the
+    * batch genuinely chains many old clusters.
+    *
+    * Equivalence (asserted by `d13_cc_update`'s oracle and OpsSpec):
+    * updateComponents(connectedComponents(P1), P2) produces the same
+    * labelling as connectedComponents(P1 ∪ P2) — star edges preserve
+    * connectivity and each root is already its component's min, so the
+    * merged minimum is the true minimum over the union. Like
+    * [[connectedComponents]], the output covers nodes that appear in at
+    * least one edge (a labelling row IS an edge), each labelled with its
+    * component's min id. */
+  def updateComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val starEdges = labels
+      .filter(col("doc_id") =!= col("component_rep"))
+      .select(col("component_rep").as("id_a"), col("doc_id").as("id_b"))
+    // roots re-enter through their children's star edges; a SINGLETON
+    // labelling row (doc_id == component_rep with no children) carries no
+    // edge, matching connectedComponents' nodes-with-edges contract
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+  }
+
   /** One survivor per duplicate cluster: collapse `docs` by the connected
     * components of `pairs`, keeping the min-id row of each component (and
     * every row that appears in no pair). The anti-join's right side is the

@@ -127,6 +127,21 @@ object DataOpsQueries {
     "d9_dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(nearDupPairs(Fixture.documents(s, dir)))),
 
+    // Incremental component maintenance: split the SAME verified pair
+    // graph into two edge batches (by pair hash — the shape of pairs
+    // arriving across two crawl batches via BandStore.ingest), close the
+    // first, then FOLD the second into the stored labelling with
+    // updateComponents — O(labelled nodes + new pairs), not O(all pairs
+    // ever). The oracle is d9's full-closure CTE over the whole pair set:
+    // green = incremental ≡ batch, including batches that merge clusters.
+    "d13_cc_update" -> ((s, dir) => {
+      val pairs = nearDupPairs(Fixture.documents(s, dir))
+        .select(col("id_a"), col("id_b"))
+      val batch1 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 === 0)
+      val batch2 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 =!= 0)
+      Dedup.updateComponents(Dedup.connectedComponents(batch1), batch2)
+    }),
+
     // End-to-end corpus-build composition — the query a training-data user
     // actually runs, all within ONE lazy plan chain (no driver round-trip
     // between stages): exact dedup survivors → near-dup collapse (connected
@@ -465,6 +480,13 @@ object DataOpsQueries {
     "d2_minhash_lsh" -> mhPairsSqlFor("documents"),
 
     "d9_dedup_components" ->
+      s"""WITH RECURSIVE
+         |${componentsSqlFor("documents")}
+         |SELECT doc_id, component_rep FROM comp""".stripMargin,
+
+    // incremental ≡ batch: the d13 query closes the pair graph in two
+    // edge batches; the truth is the ONE-SHOT closure over the whole set
+    "d13_cc_update" ->
       s"""WITH RECURSIVE
          |${componentsSqlFor("documents")}
          |SELECT doc_id, component_rep FROM comp""".stripMargin,

@@ -92,6 +92,22 @@ class BandStoreSpec extends SparkSpec {
     assert(probe.collect().exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000L))
   }
 
+  test("write clusters rows into ~one file per task, not tasks × dirs") {
+    // the corpus arrives in 4 partitions and lands in 8 bands × 4 bpfx =
+    // 32 dirs; without the range clustering, every input task opens a
+    // writer per dir it touches (up to 4 × 32 = 128 files). The clustered
+    // write keeps total data files bounded by dirs + shuffle partitions —
+    // the small-file regression this test locks against.
+    val path = tmp("bandfiles")
+    BandStore.write(corpus, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 2)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val dirs = 8 * 4
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(files <= dirs + shuffleParts,
+      s"$files data files for $dirs partition dirs — writer fan-out regressed")
+  }
+
   test("probe bands with the STORED parameters, not the caller's defaults") {
     // store written at numBands=10: a probe derives bands from meta, so a
     // maxHamming of 9 (< 10, but ≥ the write-call default 8) is accepted
