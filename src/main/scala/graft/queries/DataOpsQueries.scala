@@ -184,6 +184,37 @@ object DataOpsQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // The full per-crawl-batch dedup-maintenance loop, end to end: the
+    // corpus arrives in TWO batches; each batch is folded into the
+    // persistent band store with BandStore.ingest (emitting exactly the
+    // pairs the batch introduces — cross vs store ∪ intra) and its pairs
+    // are folded into the running cluster labelling with
+    // Dedup.updateComponents. Nothing ever re-bands the corpus or
+    // re-closes pair history — both maintenance steps are O(batch). The
+    // oracle is the ONE-SHOT closure of the whole-corpus simhash ball:
+    // green = the streaming maintenance composition leaves no trace of
+    // the batch split. (The genuine foreachBatch drive of the same
+    // composition is BandStoreSpec's streaming test; this row is its
+    // deterministic batch twin, like l1 for the host limiter.)
+    "e3_dedup_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val path = bandStorePath(s, dir) + "_e3"
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sigsAll = simhashSigs(Fixture.documents(s, dir)).persist(lvl)
+      try {
+        graft.ops.BandStore.write(sigsAll.limit(0), "doc_id", "sig", path,
+          numBands = 8, bits = 60, prefixBits = 2)
+        var labels = Seq.empty[(Long, Long)].toDF("doc_id", "component_rep")
+        for (k <- 0 until 2) {
+          val pairs = graft.ops.BandStore.ingest(sigsAll.filter(col("doc_id") % 2 === k),
+            "doc_id", "sig", path, maxHamming = 6)
+          labels = Dedup.updateComponents(labels, pairs)
+          pairs.unpersist() // updateComponents checkpointed its closure
+        }
+        labels
+      } finally { sigsAll.unpersist(); () }
+    }),
+
     // Incremental band-store maintenance end-to-end: build the persistent
     // banding index from half the corpus, APPEND the other half (O(batch),
     // fixed banding params — the per-crawl-batch maintenance path), then
@@ -542,6 +573,23 @@ object DataOpsQueries {
 
     "d11_band_store" -> SimhashOracle.crossSqlFor("documents",
       "a.doc_id % 10 <> 0", "b.doc_id % 10 = 0", maxHamming = 6),
+
+    // one-shot closure of the whole-corpus simhash hamming ball — what the
+    // e3 two-batch ingest+update maintenance loop must land on exactly
+    "e3_dedup_maintenance" ->
+      s"""WITH RECURSIVE
+         |${SimhashOracle.sigCteFor("documents")},
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM sh
+         |      UNION SELECT id_b AS u, id_a AS v FROM sh),
+         |reach(u, v) AS (
+         |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) nodes
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component_rep FROM reach GROUP BY u)
+         |SELECT doc_id, component_rep FROM comp""".stripMargin,
 
     // survivors of the planted image dup clusters, in closed form: every
     // id except the re-encodes (i % 50 = 49, whose pixels copy i−25)

@@ -140,6 +140,10 @@ class BandStoreSpec extends SparkSpec {
     BandStore.write(corpus.limit(0), "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
     val got = scala.collection.mutable.Set[(Long, Long, Int)]()
     var batches = 0
+    // stream-maintained cluster labels: each micro-batch folds its ingest
+    // pairs into the running labelling (the e3 composition)
+    import spark.implicits._
+    var labels = Seq.empty[(Long, Long)].toDF("doc_id", "component_rep")
     val q = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1).parquet(seeds.toString)
       .writeStream.option("checkpointLocation", base.resolve("ck").toString)
@@ -149,7 +153,8 @@ class BandStoreSpec extends SparkSpec {
         val rel = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
         val pairs = BandStore.ingest(df, "id", "sig", path, maxHamming = 6, register = rel += _)
         got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-        rel.foreach(_.unpersist())
+        labels = Dedup.updateComponents(labels, pairs)
+        rel.foreach(_.unpersist()) // safe: updateComponents checkpointed its closure
         ()
       }.start()
     q.awaitTermination()
@@ -158,6 +163,14 @@ class BandStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got.toSet == want,
       s"incremental=${got.size} pairs vs batch=${want.size} — a pair was missed or invented")
+    // the stream-maintained labelling equals the one-shot closure of the
+    // whole-corpus ball — micro-batch order left no trace
+    val gotLabels = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantLabels = Dedup.connectedComponents(
+        want.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotLabels == wantLabels,
+      s"stream-maintained labels diverged: ${gotLabels.size} vs ${wantLabels.size} nodes")
   }
 
   test("replayed ingest (crash after append) emits identical pairs; later probes unchanged") {
