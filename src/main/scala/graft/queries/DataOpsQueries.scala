@@ -135,11 +135,18 @@ object DataOpsQueries {
     // ever). The oracle is d9's full-closure CTE over the whole pair set:
     // green = incremental ≡ batch, including batches that merge clusters.
     "d13_cc_update" -> ((s, dir) => {
+      // LSH + verify + simhash (the expensive pair derivation) feeds BOTH
+      // eager closures (CC of batch 1, then the update) — persist across
+      // them; the returned labelling reads only checkpointed closure state,
+      // so releasing before return is safe
       val pairs = nearDupPairs(Fixture.documents(s, dir))
         .select(col("id_a"), col("id_b"))
-      val batch1 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 === 0)
-      val batch2 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 =!= 0)
-      Dedup.updateComponents(Dedup.connectedComponents(batch1), batch2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val batch1 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 === 0)
+        val batch2 = pairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 =!= 0)
+        Dedup.updateComponents(Dedup.connectedComponents(batch1), batch2)
+      } finally { pairs.unpersist(); () }
     }),
 
     // End-to-end corpus-build composition — the query a training-data user
