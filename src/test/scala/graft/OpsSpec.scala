@@ -308,6 +308,41 @@ class OpsSpec extends SparkSpec {
     assert(incr.size == 20 && incr.values.forall(_ == 0L))
   }
 
+  test("scalacheck: random graphs + random edge splits — CC and updateComponents match union-find") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // dense id range forces collisions: multi-edge, self-edges, chains,
+    // star merges — every graph shape the star iteration must survive
+    val genEdges = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val genCut = Gen.choose(0, 25)
+    val prop = Prop.forAll(genEdges, genCut) { (edges: List[(Long, Long)], cut: Int) =>
+      // min-rooted union-find reference: parent(max root) = min root keeps
+      // every root the minimum of its component
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val real = edges.filter { case (a, b) => a != b }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(n => n -> find(n)).toMap
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (p1, p2) = edges.splitAt(math.min(cut, edges.length))
+      val incr = Dedup.updateComponents(
+          Dedup.connectedComponents(p1.toDF("id_a", "id_b")),
+          p2.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      full == want && incr == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cross-modal dedup: a pixel pair and a caption pair chain into ONE cluster") {
     // the d12 semantics in miniature: A~B near-identical pixels (phash),
     // B~C identical captions — {A,B,C} must collapse to min-id survivor A
