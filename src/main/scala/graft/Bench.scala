@@ -238,7 +238,7 @@ object Bench {
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (String, String, String, String, String) = {
+    def mainSections(): (String, String, String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -430,11 +430,53 @@ object Bench {
     }
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint""")
-    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint)
+
+    // -- connected components at frontier scale ---------------------------
+    // The CC family's driver queries close ~10²-edge graphs (sf0.1 pair
+    // sets) — toy scale for the operator a 10^10-url dedup actually runs.
+    // This section closes a 5M-edge graph: a random mass (components of
+    // size O(1) — the realistic near-dup shape) PLUS 200 disjoint
+    // 1000-node chains (the diameter worst case: plain min-label
+    // propagation would need 1000 rounds; large-star/small-star must stay
+    // inside its O(log² n) bound). Reported: wall seconds, edges/sec,
+    // labelled nodes (sanity: every chain node labelled by its chain min).
+    val ccScale = {
+      import org.apache.spark.sql.functions._
+      val nNodes = benchUrls
+      // mean degree ~1 (subcritical/critical): the realistic near-dup
+      // component-size distribution — mostly tiny clusters, a few larger
+      // ones — NOT a giant component (degree >> 1 would manufacture one
+      // and measure a shape real dup graphs don't have)
+      val nRand = benchUrls / 2
+      val rand = spark.range(0, nRand)
+        .select(pmod(xxhash64(col("id")), lit(nNodes)).as("id_a"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("id_b"))
+      val chains = spark.range(nNodes, nNodes + nNodes / 10)
+        .filter(col("id") % 1000 =!= 999)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val edges = rand.unionByName(chains)
+      var labelled = 0L
+      var rounds = 0
+      val t = time {
+        val (cc, r) = graft.ops.Dedup.connectedComponentsWithRounds(edges)
+        rounds = r
+        val p = cc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        labelled = p.count()
+        p.unpersist()
+        ()
+      }
+      val nEdges = nRand + (nNodes / 10) * 999 / 1000
+      s"""{"edges":$nEdges,"nodes":${nNodes + nNodes / 10},"labelled":$labelled,""" +
+      s""""rounds":$rounds,"sec":$t,"edges_per_sec":${(nEdges / t).round}}"""
+    }
+    checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
+      s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
+      s""""cc_scale":$ccScale""")
+    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale)
     } // mainSections
 
-    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint) =
-      if (scaleOnly) ("null", "null", "null", "null", "null")
+    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale) =
+      if (scaleOnly) ("null", "null", "null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -598,7 +640,7 @@ object Bench {
       s""""external_runnable":[${runnables.mkString(",")}],""" +
       s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

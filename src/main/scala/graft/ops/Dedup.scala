@@ -229,7 +229,13 @@ object Dedup {
     * rounds' blocks are reclaimed by the ContextCleaner. */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame = connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds the closure
+    * took — observability for the O(log² n) bound (bench `cc_scale`). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
@@ -242,8 +248,17 @@ object Dedup {
       .distinct()
       .as[(Long, Long)].rdd
 
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(init.getNumPartitions, 1))
+    // The iteration's shuffle width is sized from the MEASURED edge count
+    // (known after the init checksum), not the input's partitioning: a
+    // toy-scale edge set across the session's full shuffle width pays
+    // ~6 stages × width empty-task scheduling per round — the loop-level
+    // analogue of AQE partition coalescing, which cannot see across RDD
+    // rounds. ~2M edges per partition; the input's own width is the
+    // deployment-sized ceiling (a 10^10-pair closure keeps every
+    // partition of the layout that produced it).
+    def partitionerFor(edgeCount: Long) = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(init.getNumPartitions,
+        (edgeCount / 2000000L + 1).toInt)))
 
     def truncated(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       if (reliable) {
@@ -258,7 +273,8 @@ object Dedup {
     // large-star: every node attaches its STRICTLY LARGER neighbors to
     // the minimum of its closed neighborhood. One shuffle for the
     // neighbor multiset; the min side rides the same partitioner.
-    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+    def largeStar(part: org.apache.spark.HashPartitioner)(
+        e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
       val mins = nbrs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
@@ -274,7 +290,8 @@ object Dedup {
     // small-star: every node attaches its smaller neighbors AND itself to
     // the minimum of that set. Edges arrive canonical (u < v), so "bigger
     // node's smaller neighbors" = key by v.
-    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+    def smallStar(part: org.apache.spark.HashPartitioner)(
+        e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       val byV = e.map { case (u, v) => (v, u) }
       val mins = byV.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       val leaves = byV.partitionBy(part).join(mins)
@@ -299,8 +316,11 @@ object Dedup {
     var sig = checksum(edges)
     var converged = sig._1 == 0L // no edges ⇒ nothing to iterate
     var rounds = 0
+    val part = partitionerFor(sig._1)
+    if (part.numPartitions < edges.getNumPartitions)
+      edges = edges.coalesce(part.numPartitions) // narrow, no shuffle
     while (!converged && rounds < maxIter) {
-      val next = truncated(smallStar(largeStar(edges)))
+      val next = truncated(smallStar(part)(largeStar(part)(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
@@ -315,9 +335,10 @@ object Dedup {
     // converged edges are min-rooted stars: children labelled by root,
     // plus one row per root labelling itself
     val edgesDf = edges.toDF("u", "v")
-    edgesDf.select(col("v").as("doc_id"), col("u").as("component_rep"))
+    val labels = edgesDf.select(col("v").as("doc_id"), col("u").as("component_rep"))
       .unionByName(
         edgesDf.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
+    (labels, rounds)
   }
 
   /** Incrementally fold NEW near-dup pairs into an existing component
