@@ -212,16 +212,27 @@ object Dedup {
     * (wrong) labelling; the O(log² n) bound makes the default
     * unreachable for any real pair set.
     *
-    * The ITERATION runs on `RDD[(Long, Long)]`, not Datasets — the one
-    * deliberate RDD use in the engine, and a measured decision, not
-    * taste: the round's plan SHAPE never changes, only its leaf data,
-    * yet re-deriving it as Datasets paid 0.6–1.9 s of DRIVER-side
-    * Catalyst analysis + whole-stage-codegen compilation per round
-    * against ~0.1 s of actual cluster execution at bench scale (profiled;
-    * it is also why GraphX iterates on RDDs). The RDD closures compile
-    * once per JVM; each round now costs only its real shuffles. Edge
-    * derivation (in) and labelling (out) stay Catalyst. All shuffles
-    * share ONE HashPartitioner, so each star's min-side join is
+    * The ITERATION ENGINE is chosen per call from the measured canonical
+    * edge count (`graft.cc.datasetThreshold`, default 500k — the measured
+    * crossover on local[32]); neither engine wins everywhere:
+    *  - BELOW the threshold it runs on `RDD[(Long, Long)]` — the one
+    *    deliberate RDD use in the engine. The round's plan SHAPE never
+    *    changes, only its leaf data, yet re-deriving it as Datasets pays
+    *    ~2–2.7 s of DRIVER-side Catalyst analysis + whole-stage-codegen
+    *    compilation per round against well under 0.1 s of execution at
+    *    query scale (profiled; it is also why GraphX iterates on RDDs);
+    *    the RDD closures compile once per JVM → ~0.4 s/round.
+    *  - ABOVE it the SAME rounds run as DataFrames: RDD tuple ops move
+    *    boxed Tuple2s through Java-serialized shuffles at ~0.5M rows/s
+    *    per thread (measured; Kryo indistinguishable), while Tungsten
+    *    executes the identical round ~11× faster at 1.2M edges, and the
+    *    compile floor amortizes to nothing at 10^10 pairs — where
+    *    columnar execution plus AQE re-planning each round's shuffle
+    *    width as the edge set shrinks is exactly the cluster posture.
+    * Edge derivation (in) and labelling (out) stay Catalyst either way.
+    * In the RDD loop all shuffles share ONE HashPartitioner sized from
+    * the edge count (~50k edges/partition — small enough that compute,
+    * not scheduling, fills each task), so each star's min-side join is
     * co-partitioned — no extra exchange. Lineage is truncated every
     * round (reliable `checkpoint` when the session has a checkpoint dir
     * — the cluster posture, survives executor loss — else
@@ -237,28 +248,63 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncatedDf(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
 
-    // canonical undirected edges u < v; self-pairs and null ids dropped
-    val init = pairs
+    // canonical undirected edges u < v; self-pairs and null ids dropped;
+    // checkpointed so BOTH engines start from materialized blocks and the
+    // engine-picking count below is not a wasted scan
+    val init = truncatedDf(pairs
       .filter(col("id_a").isNotNull && col("id_b").isNotNull && col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).cast("long").as("u"),
         greatest(col("id_a"), col("id_b")).cast("long").as("v"))
-      .distinct()
-      .as[(Long, Long)].rdd
+      .distinct())
+    // ONE job materializes the checkpoint, counts for engine dispatch, AND
+    // doubles as the Dataset loop's initial convergence checksum
+    val initSig = dfChecksum(init)
+    val edgeCount = initSig._1
+    val threshold = spark.conf.getOption("graft.cc.datasetThreshold")
+      .map(_.toLong).getOrElse(500000L)
+    val (edges, rounds) =
+      if (edgeCount == 0L) (init, 0)
+      else if (edgeCount <= threshold) ccRddLoop(init, edgeCount, maxIter, reliable)
+      else ccDatasetLoop(init, initSig, maxIter, truncatedDf)
 
-    // The iteration's shuffle width is sized from the MEASURED edge count
-    // (known after the init checksum), not the input's partitioning: a
-    // toy-scale edge set across the session's full shuffle width pays
-    // ~6 stages × width empty-task scheduling per round — the loop-level
-    // analogue of AQE partition coalescing, which cannot see across RDD
-    // rounds. ~2M edges per partition; the input's own width is the
-    // deployment-sized ceiling (a 10^10-pair closure keeps every
-    // partition of the layout that produced it).
-    def partitionerFor(edgeCount: Long) = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(init.getNumPartitions,
-        (edgeCount / 2000000L + 1).toInt)))
+    // converged edges are min-rooted stars: children labelled by root,
+    // plus one row per root labelling itself
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("component_rep"))
+      .unionByName(
+        edges.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
+    (labels, rounds)
+  }
+
+  /** The small-graph engine: star rounds on `RDD[(Long, Long)]`. The RDD
+    * closures compile once per JVM, so a round costs only its shuffles
+    * (~0.4 s at query scale vs ~2.5 s of per-round Catalyst replanning for
+    * the identically-shaped Dataset plan — it is also why GraphX iterates
+    * on RDDs). All shuffles share ONE HashPartitioner, so each star's
+    * min-side join is co-partitioned — no extra exchange. */
+  private def ccRddLoop(init: DataFrame, edgeCount: Long, maxIter: Int,
+      reliable: Boolean): (DataFrame, Int) = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    val initRdd = init.as[(Long, Long)].rdd
+
+    // The iteration's shuffle width is sized from the MEASURED edge count,
+    // not the input's partitioning (AQE coalesces a small distinct() to
+    // one partition; a toy edge set across the session's full shuffle
+    // width would pay ~6 stages × width empty-task scheduling per round —
+    // AQE itself cannot coalesce across RDD rounds). RDD tuple ops process
+    // ~0.5M rows/s/thread (measured — boxed Tuple2 hash maps, no
+    // Tungsten), so partitions are kept small enough that compute, not
+    // scheduling, fills each task.
+    val edgesPerPartition = spark.conf.getOption("graft.cc.edgesPerPartition")
+      .map(_.toLong).getOrElse(50000L)
+    val widthCeiling = math.max(initRdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(widthCeiling, (edgeCount / edgesPerPartition + 1).toInt)))
 
     def truncated(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       if (reliable) {
@@ -273,8 +319,7 @@ object Dedup {
     // large-star: every node attaches its STRICTLY LARGER neighbors to
     // the minimum of its closed neighborhood. One shuffle for the
     // neighbor multiset; the min side rides the same partitioner.
-    def largeStar(part: org.apache.spark.HashPartitioner)(
-        e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+    def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
       val mins = nbrs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
@@ -290,8 +335,7 @@ object Dedup {
     // small-star: every node attaches its smaller neighbors AND itself to
     // the minimum of that set. Edges arrive canonical (u < v), so "bigger
     // node's smaller neighbors" = key by v.
-    def smallStar(part: org.apache.spark.HashPartitioner)(
-        e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+    def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       val byV = e.map { case (u, v) => (v, u) }
       val mins = byV.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       val leaves = byV.partitionBy(part).join(mins)
@@ -312,15 +356,16 @@ object Dedup {
           u * 0x9E3779B97F4A7C15L ^ graft.imagecodec.ImageCodec.mix64(v)))
       }.fold((0L, 0L)) { case ((c1, h1), (c2, h2)) => (c1 + c2, h1 + h2) }
 
-    var edges = truncated(init)
-    var sig = checksum(edges)
-    var converged = sig._1 == 0L // no edges ⇒ nothing to iterate
-    var rounds = 0
-    val part = partitionerFor(sig._1)
+    // init is already materialized by the dispatcher's count; coalesce
+    // narrow if the loop width is below the input's
+    var edges = initRdd
     if (part.numPartitions < edges.getNumPartitions)
       edges = edges.coalesce(part.numPartitions) // narrow, no shuffle
+    var sig = checksum(edges)
+    var converged = false
+    var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = truncated(smallStar(part)(largeStar(part)(edges)))
+      val next = truncated(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges = next
@@ -331,14 +376,65 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "pair graph far beyond the O(log² n) bound; raise maxIter")
+    (edges.toDF("u", "v"), rounds)
+  }
 
-    // converged edges are min-rooted stars: children labelled by root,
-    // plus one row per root labelling itself
-    val edgesDf = edges.toDF("u", "v")
-    val labels = edgesDf.select(col("v").as("doc_id"), col("u").as("component_rep"))
-      .unionByName(
-        edgesDf.select(col("u").as("doc_id"), col("u").as("component_rep")).distinct())
-    (labels, rounds)
+  /** The large-graph engine: the same star rounds as DataFrames. Tungsten
+    * hash aggregation + codegen move edges ~11× faster than the RDD loop's
+    * boxed-Tuple2, Java-serialized shuffles (measured at 1.2M edges: 2.6
+    * vs 30 s/round single-threaded), and the ~2 s/round driver-side
+    * Catalyst replanning that dominates small closures amortizes to
+    * nothing here. Per-round shuffle widths follow the session's
+    * shuffle-partition/AQE settings — the cluster posture at 10^10 pairs,
+    * where AQE also re-plans each round's width as the edge set shrinks. */
+  /** Multiset identity probe shared by the dispatcher and the Dataset
+    * loop: count + order-independent hash sum. The sum runs in
+    * DECIMAL(38,0): ANSI mode (Spark 4 default) throws on the long
+    * overflow a sum of random 64-bit hashes is guaranteed to hit. */
+  private def dfChecksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  private def ccDatasetLoop(init: DataFrame,
+      initSig: (Long, java.math.BigDecimal), maxIter: Int,
+      truncatedDf: DataFrame => DataFrame): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")) // m ≤ old u < v keeps u < v canonical
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      val leaves = e.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val centers = mins.select(col("m").as("u"), col("v"))
+      leaves.union(centers).distinct()
+    }
+    var edges = init
+    var sig = initSig
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = truncatedDf(smallStar(largeStar(edges))) // materializes in dfChecksum()
+      val nextSig = dfChecksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pair graph far beyond the O(log² n) bound; raise maxIter")
+    (edges, rounds)
   }
 
   /** Incrementally fold NEW near-dup pairs into an existing component

@@ -266,6 +266,22 @@ class OpsSpec extends SparkSpec {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: Dataset engine (forced via threshold) ≡ RDD engine") {
+    // the hybrid picks the engine by measured edge count; forcing the
+    // Dataset loop onto a toy graph pins cross-engine label equality
+    // (the probe pinned it at 1.2M edges: identical labelled counts)
+    import spark.implicits._
+    val pairs = Seq((5L, 1L), (5L, 2L), (9L, 7L), (9L, 8L), (2L, 7L),
+      (30L, 31L), (31L, 32L), (40L, 41L))
+    val viaRdd = components(pairs)
+    spark.conf.set("graft.cc.datasetThreshold", "0")
+    try {
+      val viaDs = components(pairs)
+      assert(viaDs == viaRdd)
+      assert(viaDs(8L) == 1L && viaDs(32L) == 30L && viaDs(41L) == 40L)
+    } finally spark.conf.unset("graft.cc.datasetThreshold")
+  }
+
   test("collapseNearDups keeps one survivor per cluster and every untouched row") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
