@@ -443,31 +443,48 @@ object Dedup {
     * .appendToIndex; band index: BandStore.append; THIS: the labels a
     * crawl batch's [[BandStore.ingest]] pairs must update). Re-closing
     * the full historical pair multiset per batch is O(all pairs ever);
-    * here the stored labelling stands in for history as its STAR edges
-    * (component_rep → doc_id, one per labelled node — spanning exactly
-    * the same components, rooted at each component's min), so the
-    * iteration runs over O(labelled nodes + new pairs) edges and, the
-    * stars being depth-1, converges in a couple of rounds unless the
-    * batch genuinely chains many old clusters.
+    * here the closure runs ONLY over the components the batch touches:
+    * a new pair can merge or relabel a stored component only if one of
+    * its endpoints is in it, so every other label passes through
+    * verbatim, and the touched components enter as their STAR edges
+    * (component_rep → doc_id — spanning exactly the same components,
+    * rooted at each component's min). The iteration is therefore
+    * O(touched-component members + new pairs) — at a 10^10-node
+    * labelling a crawl batch touches a vanishing fraction of clusters,
+    * and the rest costs two linear scans of the label table (the
+    * semi/anti split against the broadcast-sized touched-rep list),
+    * never a closure round. Depth-1 stars converge in a couple of
+    * rounds unless the batch genuinely chains many old clusters.
     *
-    * Equivalence (asserted by `d13_cc_update`'s oracle and OpsSpec):
-    * updateComponents(connectedComponents(P1), P2) produces the same
-    * labelling as connectedComponents(P1 ∪ P2) — star edges preserve
-    * connectivity and each root is already its component's min, so the
-    * merged minimum is the true minimum over the union. Like
-    * [[connectedComponents]], the output covers nodes that appear in at
-    * least one edge (a labelling row IS an edge), each labelled with its
-    * component's min id. */
+    * Equivalence (asserted by `d13_cc_update`'s oracle and OpsSpec,
+    * incl. the union-find property test): updateComponents(
+    * connectedComponents(P1), P2) produces the same labelling as
+    * connectedComponents(P1 ∪ P2) — star edges preserve connectivity,
+    * each root is already its component's min, so the merged minimum is
+    * the true minimum over the union, and untouched components cannot
+    * change reps without a new edge. Like [[connectedComponents]], the
+    * output covers nodes that appear in at least one edge (a labelling
+    * row IS an edge), each labelled with its component's min id. */
   def updateComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val starEdges = labels
+    val pairs = newPairs.select(col("id_a"), col("id_b"))
+    val batchNodes = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    // reps of every component adjacent to the batch — O(batch) rows, so
+    // AQE broadcasts both the semi and the anti side below
+    val touchedReps = labels.join(batchNodes, Seq("doc_id"), "left_semi")
+      .select(col("component_rep")).distinct()
+    val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
+    // touched components re-enter the closure as star edges; roots ride
+    // their children's edges, and a SINGLETON labelling row (doc_id ==
+    // component_rep with no children) cannot occur in a labelling this
+    // engine produced (every root has ≥1 child)
+    val touchedStars = labels.join(touchedReps, Seq("component_rep"), "left_semi")
       .filter(col("doc_id") =!= col("component_rep"))
       .select(col("component_rep").as("id_a"), col("doc_id").as("id_b"))
-    // roots re-enter through their children's star edges; a SINGLETON
-    // labelling row (doc_id == component_rep with no children) carries no
-    // edge, matching connectedComponents' nodes-with-edges contract
-    connectedComponents(
-      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+    connectedComponents(touchedStars.unionByName(pairs), maxIter)
+      .unionByName(untouched.select(col("doc_id"), col("component_rep")))
   }
 
   /** One survivor per duplicate cluster: collapse `docs` by the connected
