@@ -456,6 +456,12 @@ object Dedup {
     * never a closure round. Depth-1 stars converge in a couple of
     * rounds unless the batch genuinely chains many old clusters.
     *
+    * Like [[connectedComponents]]' engine choice, the update SHAPE is
+    * dispatched per call on the labelling's measured size: a labelling
+    * below `graft.cc.touchedSplitThreshold` re-enters the closure whole
+    * (full-star) — at that size the split's bookkeeping jobs cost more
+    * than the smaller closure saves (numbers at the dispatch site).
+    *
     * Equivalence (asserted by `d13_cc_update`'s oracle and OpsSpec,
     * incl. the union-find property test): updateComponents(
     * connectedComponents(P1), P2) produces the same labelling as
@@ -464,27 +470,72 @@ object Dedup {
     * the true minimum over the union, and untouched components cannot
     * change reps without a new edge. Like [[connectedComponents]], the
     * output covers nodes that appear in at least one edge (a labelling
-    * row IS an edge), each labelled with its component's min id. */
+    * row IS an edge), each labelled with its component's min id.
+    *
+    * Lifecycle contract: `newPairs` is consumed ENTIRELY during this
+    * call (the closure is eager and the touched-rep set is
+    * checkpointed below) — callers may release a persisted pair
+    * derivation as soon as the call returns. `labels`, by contrast, is
+    * re-scanned lazily by the untouched pass-through at every
+    * downstream action, which is the 10^10 shape (the label table
+    * lives in a store and the update's one write scans it once) — so
+    * `labels` must stay cheap to re-read (store-backed or
+    * checkpointed, as this engine's own outputs are). */
   def updateComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val spark = labels.sparkSession
     val pairs = newPairs.select(col("id_a"), col("id_b"))
-    val batchNodes = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id")))
-      .distinct()
-    // reps of every component adjacent to the batch — O(batch) rows, so
-    // AQE broadcasts both the semi and the anti side below
-    val touchedReps = labels.join(batchNodes, Seq("doc_id"), "left_semi")
-      .select(col("component_rep")).distinct()
-    val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
-    // touched components re-enter the closure as star edges; roots ride
-    // their children's edges, and a SINGLETON labelling row (doc_id ==
-    // component_rep with no children) cannot occur in a labelling this
-    // engine produced (every root has ≥1 child)
-    val touchedStars = labels.join(touchedReps, Seq("component_rep"), "left_semi")
-      .filter(col("doc_id") =!= col("component_rep"))
-      .select(col("component_rep").as("id_a"), col("doc_id").as("id_b"))
-    connectedComponents(touchedStars.unionByName(pairs), maxIter)
-      .unionByName(untouched.select(col("doc_id"), col("component_rep")))
+    // Like the closure's engine dispatch, the update SHAPE is picked per
+    // call from a measured size: below the threshold the whole (tiny)
+    // labelling re-enters the closure as star edges — the touched-split's
+    // extra jobs (rep checkpoint, semi/anti scans, deeper final plan)
+    // cost ~1 s that a small closure doesn't give back. The size probe is
+    // limit(t+1).count(): CollectLimit reads only until t+1 rows exist,
+    // so probing a 10^10-row labelling costs one partition read, not a
+    // scan. (full vs split, measured warm on local[32], components of 10,
+    // 4k-pair batch: 50k labels 3.0 vs 3.5 s; 200k 3.4 vs 3.0; 1M 7.2 vs
+    // 3.4; 4M 13.6 vs 3.6 — and at the d13/e3 regime of <10k labels full
+    // wins by ~2 s. Default 100k, conf `graft.cc.touchedSplitThreshold`.)
+    val splitThreshold = spark.conf.getOption("graft.cc.touchedSplitThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val small = splitThreshold >= Int.MaxValue.toLong ||
+      (splitThreshold > 0 &&
+        labels.limit(splitThreshold.toInt + 1).count() <= splitThreshold)
+    if (small) {
+      // full-star shape: every labelled node re-enters as a star edge;
+      // the closure is eager, so the result references neither input
+      val starEdges = labels
+        .filter(col("doc_id") =!= col("component_rep"))
+        .select(col("component_rep").as("id_a"), col("doc_id").as("id_b"))
+      connectedComponents(starEdges.unionByName(pairs), maxIter)
+    } else {
+      val batchNodes = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      // reps of every component adjacent to the batch — O(batch) rows, so
+      // AQE broadcasts both the semi and the anti side below. Materialized
+      // EAGERLY so the returned labelling holds NO reference to newPairs:
+      // the anti join re-executes at every downstream action, and a lazy
+      // rep set would re-derive the batch's pairs (LSH probe + verify —
+      // the expensive stage) each time, after the caller already released
+      // its persist of them.
+      val touchedRepsLazy = labels.join(batchNodes, Seq("doc_id"), "left_semi")
+        .select(col("component_rep")).distinct()
+      val touchedReps =
+        if (spark.sparkContext.getCheckpointDir.isDefined)
+          touchedRepsLazy.checkpoint()
+        else touchedRepsLazy.localCheckpoint()
+      val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
+      // touched components re-enter the closure as star edges; roots ride
+      // their children's edges, and a SINGLETON labelling row (doc_id ==
+      // component_rep with no children) cannot occur in a labelling this
+      // engine produced (every root has ≥1 child)
+      val touchedStars = labels.join(touchedReps, Seq("component_rep"), "left_semi")
+        .filter(col("doc_id") =!= col("component_rep"))
+        .select(col("component_rep").as("id_a"), col("doc_id").as("id_b"))
+      connectedComponents(touchedStars.unionByName(pairs), maxIter)
+        .unionByName(untouched.select(col("doc_id"), col("component_rep")))
+    }
   }
 
   /** One survivor per duplicate cluster: collapse `docs` by the connected

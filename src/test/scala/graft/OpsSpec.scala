@@ -294,34 +294,49 @@ class OpsSpec extends SparkSpec {
 
   test("updateComponents folds new pairs into stored labels ≡ one-shot closure") {
     import spark.implicits._
-    // P1 builds clusters {1,2,3} and {10,11}; P2 bridges them (3~10),
-    // extends one (11~12), and starts a fresh cluster {20,21}
-    val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val p2 = Seq((3L, 10L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
-    val incr = Dedup.updateComponents(Dedup.connectedComponents(p1), p2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val full = Dedup.connectedComponents(p1.unionByName(p2))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(incr == full)
-    assert(incr == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
-      12L -> 1L, 20L -> 20L, 21L -> 20L))
-    // empty prior labelling: update degenerates to plain closure
-    val cold = Dedup.updateComponents(
-        Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")), p2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cold == Map(3L -> 3L, 10L -> 3L, 11L -> 11L, 12L -> 11L,
-      20L -> 20L, 21L -> 20L))
+    // both dispatch shapes: threshold 0 forces the touched-component
+    // split, MaxValue forces the full-star path (default would pick
+    // full-star at this size)
+    for (thr <- Seq("0", String.valueOf(Long.MaxValue))) {
+      spark.conf.set("graft.cc.touchedSplitThreshold", thr)
+      try {
+        // P1 builds clusters {1,2,3} and {10,11}; P2 bridges them (3~10),
+        // extends one (11~12), and starts a fresh cluster {20,21}
+        val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+        val p2 = Seq((3L, 10L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+        val incr = Dedup.updateComponents(Dedup.connectedComponents(p1), p2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Dedup.connectedComponents(p1.unionByName(p2))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr == full, s"threshold=$thr")
+        assert(incr == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+          12L -> 1L, 20L -> 20L, 21L -> 20L), s"threshold=$thr")
+        // empty prior labelling: update degenerates to plain closure
+        val cold = Dedup.updateComponents(
+            Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")), p2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(cold == Map(3L -> 3L, 10L -> 3L, 11L -> 11L, 12L -> 11L,
+          20L -> 20L, 21L -> 20L), s"threshold=$thr")
+      } finally spark.conf.unset("graft.cc.touchedSplitThreshold")
+    }
   }
 
   test("updateComponents chains many prior clusters through one batch (star merge)") {
     import spark.implicits._
     // 10 disjoint 2-clusters, then a batch that daisy-chains them all:
-    // the depth-1 star edges must still converge to a single min root
-    val p1 = (0L until 10L).map(k => (100 * k, 100 * k + 1)).toDF("id_a", "id_b")
-    val p2 = (0L until 9L).map(k => (100 * k + 1, 100 * (k + 1))).toDF("id_a", "id_b")
-    val incr = Dedup.updateComponents(Dedup.connectedComponents(p1), p2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(incr.size == 20 && incr.values.forall(_ == 0L))
+    // the depth-1 star edges must still converge to a single min root —
+    // under both dispatch shapes (every stored cluster is touched, the
+    // split's hardest case)
+    for (thr <- Seq("0", String.valueOf(Long.MaxValue))) {
+      spark.conf.set("graft.cc.touchedSplitThreshold", thr)
+      try {
+        val p1 = (0L until 10L).map(k => (100 * k, 100 * k + 1)).toDF("id_a", "id_b")
+        val p2 = (0L until 9L).map(k => (100 * k + 1, 100 * (k + 1))).toDF("id_a", "id_b")
+        val incr = Dedup.updateComponents(Dedup.connectedComponents(p1), p2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr.size == 20 && incr.values.forall(_ == 0L), s"threshold=$thr")
+      } finally spark.conf.unset("graft.cc.touchedSplitThreshold")
+    }
   }
 
   test("scalacheck: random graphs + random edge splits — CC and updateComponents match union-find") {
@@ -349,10 +364,16 @@ class OpsSpec extends SparkSpec {
       val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val (p1, p2) = edges.splitAt(math.min(cut, edges.length))
-      val incr = Dedup.updateComponents(
-          Dedup.connectedComponents(p1.toDF("id_a", "id_b")),
-          p2.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // force the touched-split shape: at this size the default dispatch
+      // would always take full-star, leaving the split's semi/anti/star
+      // composition property-untested
+      spark.conf.set("graft.cc.touchedSplitThreshold", "0")
+      val incr = try {
+        Dedup.updateComponents(
+            Dedup.connectedComponents(p1.toDF("id_a", "id_b")),
+            p2.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally spark.conf.unset("graft.cc.touchedSplitThreshold")
       full == want && incr == want
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
