@@ -8,7 +8,8 @@ import graft.pipeline.CrawlPipeline
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "frontier":{...},"frontier10x":{...},"maintenance":{...},"gate":{...},
-  *  "band_maintenance":{...},"scaling":{...}}
+  *  "band_maintenance":{...},"cc_scale":{...},"label_maintenance":{...},
+  *  "scaling":{...}}
   *
   *  - `queries`: per-operator wall seconds on SPARK_GRAFT_SF_DIR (driver
   *    contract; run after a warm-up pass so JIT/session setup is not
@@ -238,7 +239,7 @@ object Bench {
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (String, String, String, String, String, String) = {
+    def mainSections(): (String, String, String, String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -472,11 +473,55 @@ object Bench {
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
       s""""cc_scale":$ccScale""")
-    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale)
+
+    // -- label maintenance: cluster-labelling upkeep is O(touched) --------
+    // The labelling twin of the seen/band maintenance sections: folding a
+    // crawl batch's pairs into a stored component labelling. full_sec
+    // re-enters the WHOLE labelling as star edges (the naive alternative,
+    // O(labels) per batch); split_sec is the touched-component shape
+    // updateComponents dispatches to above its threshold — untouched
+    // labels pass through as two linear scans, only adjacent components
+    // re-enter the closure. The labelling is a converged star forest
+    // (components of 10); the batch half merges adjacent stored clusters,
+    // half opens brand-new ones. rows_full == rows_split re-checks shape
+    // equivalence at bench scale (OpsSpec proves it at spec scale).
+    val labelMaint = {
+      import org.apache.spark.sql.functions._
+      val nLabels = benchUrls
+      val nBatch = benchUrls / 32
+      val labels = spark.range(0, nLabels)
+        .select(col("id").as("doc_id"), (col("id") - col("id") % 10).as("component_rep"))
+        .localCheckpoint()
+      labels.count()
+      val batch = spark.range(0, nBatch / 2)
+        .select((col("id") * 20).as("id_a"), (col("id") * 20 + 10).as("id_b"))
+        .unionByName(spark.range(0, nBatch / 2)
+          .select((col("id") + nLabels * 2).as("id_a"), (col("id") + nLabels * 3).as("id_b")))
+        .localCheckpoint()
+      batch.count()
+      def min2(f: => Unit): Double = math.min(time(f), time(f))
+      var rowsFull = 0L
+      var rowsSplit = 0L
+      spark.conf.set("graft.cc.touchedSplitThreshold", String.valueOf(Long.MaxValue))
+      val tFull = min2 {
+        rowsFull = graft.ops.Dedup.updateComponents(labels, batch).count()
+      }
+      spark.conf.set("graft.cc.touchedSplitThreshold", "0")
+      val tSplit = min2 {
+        rowsSplit = graft.ops.Dedup.updateComponents(labels, batch).count()
+      }
+      spark.conf.unset("graft.cc.touchedSplitThreshold")
+      s"""{"labels":$nLabels,"batch_pairs":$nBatch,"full_sec":$tFull,""" +
+      s""""split_sec":$tSplit,"rows_full":$rowsFull,"rows_split":$rowsSplit}"""
+    }
+    checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
+      s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
+      s""""cc_scale":$ccScale,"label_maintenance":$labelMaint""")
+    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint)
     } // mainSections
 
-    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale) =
-      if (scaleOnly) ("null", "null", "null", "null", "null", "null")
+    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint) =
+      if (scaleOnly) ("null", "null", "null", "null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -640,7 +685,7 @@ object Bench {
       s""""external_runnable":[${runnables.mkString(",")}],""" +
       s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale,"label_maintenance":$labelMaint}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up
