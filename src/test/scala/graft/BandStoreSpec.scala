@@ -194,6 +194,63 @@ class BandStoreSpec extends SparkSpec {
     assert(laterAfter == laterBefore, "doubled store rows leaked into a later probe")
   }
 
+  test("label snapshots: crash between band append and label commit heals on replay") {
+    // The full persistence story of the dedup-maintenance loop (e3):
+    // band rows land in the BandStore DURING ingest, the updated labelling
+    // lands in a SnapshotTable commit keyed by batchId AFTER it — so a
+    // crash in between leaves the store ahead of the labels. Replay must
+    // heal: re-ingest of an already-stored batch emits identical pairs
+    // (proven by the replay test above), refolding pairs already reflected
+    // in the labelling is a fixed point of updateComponents, and the batch
+    // key makes the commit itself idempotent. Current labelling = the HEAD
+    // commit alone (each commit is a full snapshot at this scale; a
+    // 10^10-label deployment commits the touched-split's closure output as
+    // a delta and resolves latest-batch-wins — same manifest machinery).
+    import graft.tableio.SnapshotTable
+    import spark.implicits._
+    val path = tmp("bandlabels")
+    val tableRoot = java.nio.file.Files.createTempDirectory("labeltable").toString
+    BandStore.write(corpus.limit(0), "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    val table = new SnapshotTable(tableRoot)
+    def currentLabels: DataFrame = table.headId match {
+      case Some(id) =>
+        val files = table.manifest(id).files.map(f => tableRoot + "/" + f)
+        spark.read.parquet(files: _*)
+      case None => Seq.empty[(Long, Long)].toDF("doc_id", "component_rep")
+    }
+    def foldBatch(k: Long, df: DataFrame): Unit =
+      if (!table.committedBatchIds.contains(k)) {
+        val pairs = BandStore.ingest(df, "id", "sig", path, maxHamming = 6)
+        table.commit(Dedup.updateComponents(currentLabels, pairs), batchId = k)
+        pairs.unpersist()
+        ()
+      }
+    val batches = (0 until 3).map(k => corpus.filter(col("id") % 3 === k))
+    foldBatch(0, batches(0))
+    foldBatch(1, batches(1))
+    // re-delivery of a committed batch is a pure no-op: batch key skips
+    // BEFORE the ingest, so the band store gains no rows either
+    val headBefore = table.headId
+    val storeRowsBefore = spark.read.parquet(path).count()
+    foldBatch(1, batches(1))
+    assert(table.headId == headBefore && spark.read.parquet(path).count() == storeRowsBefore,
+      "replay of a committed batch must not advance the table or the store")
+    // CRASH WINDOW: batch 2's ingest ran (store updated, pairs emitted)
+    // but the label commit never happened
+    BandStore.ingest(batches(2), "id", "sig", path, maxHamming = 6).unpersist()
+    assert(!table.committedBatchIds.contains(2L))
+    // replay heals: ingest again (idempotent emission), fold, commit
+    foldBatch(2, batches(2))
+    assert(table.committedBatchIds == Set(0L, 1L, 2L))
+    // the healed labelling equals the one-shot closure of the whole ball —
+    // neither the crash nor the batch split left a trace
+    val got = currentLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Dedup.connectedComponents(
+        Dedup.hammingCandidates(corpus, "id", "sig", maxHamming = 6, numBands = 8, bits = 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"healed labelling diverged: ${got.size} vs ${want.size} nodes")
+  }
+
   test("guards: pigeonhole bound and missing meta fail fast") {
     val path = tmp("bandguard")
     BandStore.write(corpus, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
