@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.model.Synth
+import graft.ops.LinkGraph
 import graft.pipeline.CrawlPipeline
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "frontier":{...},"frontier10x":{...},"maintenance":{...},"gate":{...},
   *  "band_maintenance":{...},"cc_scale":{...},"label_maintenance":{...},
-  *  "scaling":{...}}
+  *  "graph_scale":{...},"scaling":{...}}
   *
   *  - `queries`: per-operator wall seconds on SPARK_GRAFT_SF_DIR (driver
   *    contract; run after a warm-up pass so JIT/session setup is not
@@ -239,7 +240,7 @@ object Bench {
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (String, String, String, String, String, String, String) = {
+    def mainSections(): (String, String, String, String, String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -514,14 +515,66 @@ object Bench {
       s"""{"labels":$nLabels,"batch_pairs":$nBatch,"full_sec":$tFull,""" +
       s""""split_sec":$tSplit,"rows_full":$rowsFull,"rows_split":$rowsSplit}"""
     }
+
+    // -- graph_scale: the LinkGraph DATASET engines at million-edge scale -
+    // g1/g2 run the RDD engine at query scale (the measured small-graph
+    // winner); this section drives the SAME operators past
+    // graft.graph.datasetThreshold so the large-graph shape — Tungsten
+    // rounds, AQE-planned joins, the 10^10-edge posture — has a measured
+    // number too (the LinkGraph twin of cc_scale). Redirect chains are
+    // ≤ 63 hops so resolution completes inside the default maxChain cap
+    // (7 pointer-doubling rounds); every 4096th block closes into a
+    // 64-cycle so the unresolved path stays exercised.
+    val graphScale = {
+      import org.apache.spark.sql.functions._
+      val nRed = benchUrls / 2
+      // chains: id → id+1 within each 64-block; block heads absorb; every
+      // 4096th block closes into a cycle (head → head+63)
+      val redirEdges = spark.range(0, nRed)
+        .filter(col("id") % 64 =!= 0)
+        .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        .unionByName(spark.range(0, nRed)
+          .filter(col("id") % 4096 === 0)
+          .select(col("id").as("src"), (col("id") + 63).as("dst")))
+        .localCheckpoint()
+      val nRedirEdges = redirEdges.count()
+      var resolved = 0L
+      var unresolved = 0L
+      val tRed = time {
+        val out = LinkGraph.resolveRedirects(redirEdges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unresolved = out.filter(col("unresolved")).count()
+        resolved = out.count() - unresolved
+        out.unpersist()
+        ()
+      }
+      val nPr = benchUrls / 2
+      val prEdges = spark.range(0, nPr)
+        .select(col("id").as("src"), pmod(col("id") + 1, lit(nPr)).as("dst"))
+        .unionByName(spark.range(0, nPr)
+          .select(col("id").as("src"), pmod(col("id") * 2 + 1, lit(nPr)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val nPrEdges = prEdges.count()
+      var ranked = 0L
+      val tPr = time {
+        ranked = LinkGraph.pagerank(prEdges, iterations = 3).count()
+      }
+      s"""{"redirect":{"edges":$nRedirEdges,"resolved":$resolved,""" +
+      s""""unresolved":$unresolved,"sec":$tRed,"edges_per_sec":${(nRedirEdges / tRed).round}},""" +
+      s""""pagerank":{"edges":$nPrEdges,"nodes":$nPr,"iters":3,"sec":$tPr,""" +
+      s""""edges_per_sec":${(nPrEdges / tPr).round}}}"""
+    }
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
-      s""""cc_scale":$ccScale,"label_maintenance":$labelMaint""")
-    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint)
+      s""""cc_scale":$ccScale,"label_maintenance":$labelMaint,"graph_scale":$graphScale""")
+    (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint,
+      graphScale)
     } // mainSections
 
-    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint) =
-      if (scaleOnly) ("null", "null", "null", "null", "null", "null", "null")
+    val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint,
+      graphScale) =
+      if (scaleOnly) ("null", "null", "null", "null", "null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -685,7 +738,7 @@ object Bench {
       s""""external_runnable":[${runnables.mkString(",")}],""" +
       s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale,"label_maintenance":$labelMaint}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale,"label_maintenance":$labelMaint,"graph_scale":$graphScale}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

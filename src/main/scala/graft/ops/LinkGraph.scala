@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph operators over crawl edge sets — the graph half of a web
+  * crawler that [[Dedup.connectedComponents]]' closure machinery doesn't
+  * cover: DIRECTED single-successor resolution (HTTP redirect chains) and
+  * fixed-iteration link-importance scoring (frontier prioritization).
+  *
+  * Both follow the CC operator's measured engine-dispatch rule
+  * (`Dedup.connectedComponents` scaladoc): an iteration whose plan SHAPE
+  * never changes pays ~0.6–2 s of driver-side Catalyst re-analysis +
+  * whole-stage-codegen per round when written against Datasets, versus
+  * well under 0.1 s of execution at query scale — so below
+  * `graft.graph.datasetThreshold` (default 500k edges, the same measured
+  * crossover as `graft.cc.datasetThreshold`) the rounds run on
+  * `RDD[(Long, …)]` with ONE shared HashPartitioner (closures compile
+  * once per JVM; co-partitioned joins), and above it the identical
+  * rounds run as DataFrames, where Tungsten moves edges ~11× faster than
+  * boxed-Tuple2 shuffles and AQE re-plans each round's width — the
+  * 10^10-edge cluster posture.
+  */
+object LinkGraph {
+
+  private def datasetThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.datasetThreshold")
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Shared shuffle-width rule with the CC engine: size the iteration's
+    * partitioner from the MEASURED edge count (~50k edges/partition), not
+    * the input's partitioning — AQE coalesces a small distinct() to one
+    * partition and cannot re-plan across RDD rounds. */
+  private def sharedPartitioner(spark: SparkSession, edgeCount: Long,
+      inputParts: Int): HashPartitioner = {
+    val edgesPerPartition = spark.conf.getOption("graft.cc.edgesPerPartition")
+      .map(_.toLong).getOrElse(50000L)
+    val ceiling = math.max(inputParts, spark.sparkContext.defaultParallelism)
+    new HashPartitioner(
+      math.max(1, math.min(ceiling, (edgeCount / edgesPerPartition + 1).toInt)))
+  }
+
+  private def truncateRdd[T](rdd: RDD[T], reliable: Boolean): RDD[T] = {
+    if (reliable) {
+      // persist first: a reliable checkpoint otherwise recomputes the
+      // round in a second job when it writes the checkpoint files
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else rdd.localCheckpoint()
+    rdd
+  }
+
+  private def truncateDf(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+
+  // -------------------------------------------------------------------
+  // Redirect-chain resolution
+  // -------------------------------------------------------------------
+
+  /** Resolve every redirect source to its FINAL destination by pointer
+    * doubling — the batch shape of "follow HTTP redirects before
+    * enqueueing": each round every unresolved chain jumps through the
+    * current table (`f ← f∘f`), so a chain of length L settles in
+    * ⌈log₂ L⌉ + 1 rounds, each ONE shuffle of the still-unsettled rows
+    * (never the corpus): O(log maxChain) rounds total, not O(chain).
+    *
+    * Input: (src, dst) long edges, one out-edge per node (extra edges are
+    * functionalized deterministically by min(dst); nulls dropped).
+    * Output: one row per source — (src, final_dst, hops, unresolved).
+    * `unresolved = true` (with null final/hops) marks sources whose walk
+    * has not terminated within `maxChain` hops: redirect CYCLES and
+    * over-long chains alike. The cap mirrors what every HTTP client does
+    * (browsers stop at ~20 redirects; curl at 50) — a crawler treats both
+    * cases as fetch failures, and the cap is also what bounds the round
+    * count at 10^10 edges, where an unbounded cycle hunt would otherwise
+    * run ⌈log₂ E⌉ ≈ 34 rounds to prove non-termination.
+    *
+    * Scale shape: rounds touch only unsettled rows (settled rows pass
+    * through as the join's right side, one partitioned table reused);
+    * everything is keyed by node id — no driver-side walking, nothing
+    * collected. Lineage is truncated every round like the CC loop.
+    */
+  def resolveRedirects(edges: DataFrame, maxChain: Int = 64): DataFrame = {
+    require(maxChain >= 1, s"maxChain must be >= 1, got $maxChain")
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+
+    // functionalize: one deterministic successor per source
+    val fn = truncateDf(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .groupBy("src").agg(min(col("dst")).as("dst")), reliable)
+    val edgeCount = fn.count() // materializes the checkpoint + dispatches
+    val rounds = ceilLog2(maxChain) + 1
+
+    val resolved =
+      if (edgeCount == 0L) {
+        fn.select(col("src"), col("dst").as("__cur"), lit(1L).as("__hops"),
+          lit(false).as("__settled"))
+      } else if (edgeCount <= datasetThreshold(spark)) {
+        redirectRddLoop(fn, edgeCount, rounds, reliable)
+      } else {
+        redirectDfLoop(fn, rounds, reliable)
+      }
+
+    resolved.select(
+      col("src"),
+      when(col("__settled") && col("__hops") <= maxChain, col("__cur")).as("final_dst"),
+      when(col("__settled") && col("__hops") <= maxChain, col("__hops")).as("hops"),
+      (!col("__settled") || col("__hops") > maxChain).as("unresolved"))
+  }
+
+  private def ceilLog2(n: Int): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1, n.toLong - 1))
+
+  /** Small-graph engine: state (src → cur, hops, settled) keyed by src on
+    * the shared partitioner. Per round the unsettled rows re-key by cur
+    * (the one shuffle) and left-join the full state: a miss means cur has
+    * no out-edge — the chain terminal; a hit composes the jump, doubling
+    * covered distance. Settled rows rejoin by union (partitioner-aware —
+    * both sides co-partitioned). */
+  private def redirectRddLoop(fn: DataFrame, edgeCount: Long, rounds: Int,
+      reliable: Boolean): DataFrame = {
+    val spark = fn.sparkSession
+    import spark.implicits._
+    val part = sharedPartitioner(spark, edgeCount, fn.rdd.getNumPartitions)
+
+    var state: RDD[(Long, (Long, Long, Boolean))] = fn.as[(Long, Long)].rdd
+      .map { case (s, d) => (s, (d, 1L, false)) }
+      .partitionBy(part)
+    var unsettled = edgeCount
+    var r = 0
+    while (unsettled > 0 && r < rounds) {
+      val settledRows = state.filter(_._2._3)
+      val byCur = state.filter(!_._2._3)
+        .map { case (s, (c, h, _)) => (c, (s, h)) }
+      val stepped = byCur.leftOuterJoin(state, part).map {
+        case (cur, ((s, h), None))              => (s, (cur, h, true))
+        case (_, ((s, h), Some((bc, bh, bs))))  => (s, (bc, h + bh, bs))
+      }.partitionBy(part)
+      state = truncateRdd(settledRows.union(stepped), reliable)
+      unsettled = state.filter(!_._2._3).count()
+      r += 1
+    }
+    state.map { case (s, (c, h, st)) => (s, c, h, st) }
+      .toDF("src", "__cur", "__hops", "__settled")
+  }
+
+  /** Large-graph engine: the identical rounds as DataFrames (Tungsten +
+    * AQE width re-planning per round — see the object scaladoc). */
+  private def redirectDfLoop(fn: DataFrame, rounds: Int,
+      reliable: Boolean): DataFrame = {
+    var state = fn.select(col("src"), col("dst").as("__cur"),
+      lit(1L).as("__hops"), lit(false).as("__settled"))
+    var unsettled = Long.MaxValue
+    var r = 0
+    while (unsettled > 0 && r < rounds) {
+      val jump = state.select(col("src").as("__bsrc"), col("__cur").as("__bcur"),
+        col("__hops").as("__bhops"), col("__settled").as("__bsettled"))
+      val u = state.filter(!col("__settled"))
+      val stepped = u.join(jump, u("__cur") === jump("__bsrc"), "left")
+        .select(u("src"),
+          coalesce(col("__bcur"), u("__cur")).as("__cur"),
+          when(col("__bsrc").isNull, u("__hops"))
+            .otherwise(u("__hops") + col("__bhops")).as("__hops"),
+          when(col("__bsrc").isNull, lit(true))
+            .otherwise(col("__bsettled")).as("__settled"))
+      state = truncateDf(state.filter(col("__settled")).unionByName(stepped), reliable)
+      unsettled = state.filter(!col("__settled")).count() // materializes
+      r += 1
+    }
+    state
+  }
+
+  // -------------------------------------------------------------------
+  // Fixed-point PageRank (frontier prioritization)
+  // -------------------------------------------------------------------
+
+  /** Fixed-iteration PageRank in 64-bit FIXED-POINT integer arithmetic —
+    * the frontier-prioritization score (crawl the highest-rank hosts
+    * first). All arithmetic is integral (`rank DIV outdeg`, damping as a
+    * cross-multiplied fraction), so the result is EXACT and engine-
+    * independent: the same formula in ANSI SQL produces hash-identical
+    * values — no float summation-order drift, which is what makes a
+    * cross-engine oracle possible for an iterative numeric operator.
+    *
+    *   rank₀(v)   = scale                      (1.0 in fixed-point)
+    *   rankᵢ₊₁(v) = ((den−num)·scale) DIV den
+    *              + (num · Σ_{u→v} rankᵢ(u) DIV outdeg(u)) DIV den
+    *
+    * Dangling mass is dropped (nodes with no out-edges contribute
+    * nothing), the standard simplification when ranks are used as
+    * RELATIVE priorities. Iterations are a fixed small constant — a
+    * frontier scorer needs rank separation, not convergence — so total
+    * work is `iterations` passes over the edge set: per iteration ONE
+    * shuffle (the contribution reduceByKey / groupBy); the rank-side
+    * joins are co-partitioned on the shared partitioner (RDD engine) or
+    * planned by AQE (DataFrame engine). Overflow headroom: ranks are
+    * bounded by total mass ≤ nodes·scale; num·Σ stays under 2⁶³ through
+    * 10^10 nodes at the default scale 10⁶.
+    *
+    * Input: (src, dst) long edges (dups/nulls dropped). Output:
+    * (node, rank_fp) — every node incident to an edge, rank in units of
+    * 1/scale. */
+  def pagerank(edges: DataFrame, iterations: Int = 3, scale: Long = 1000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val base = (dampDen - dampNum) * scale / dampDen
+
+    val e = truncateDf(edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct(), reliable)
+    val edgeCount = e.count() // materializes + dispatches
+    if (edgeCount == 0L) return e.select(col("src").as("node"), col("dst").as("rank_fp"))
+
+    if (edgeCount <= datasetThreshold(spark))
+      pagerankRddLoop(e, edgeCount, iterations, scale, dampNum, dampDen, base, reliable)
+    else
+      pagerankDfLoop(e, iterations, scale, dampNum, dampDen, base, reliable)
+  }
+
+  private def pagerankRddLoop(e: DataFrame, edgeCount: Long, iterations: Int,
+      scale: Long, dampNum: Long, dampDen: Long, base: Long,
+      reliable: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val part = sharedPartitioner(spark, edgeCount, e.rdd.getNumPartitions)
+
+    val edgesRdd = e.as[(Long, Long)].rdd
+    // adjacency with out-degree and the node set, keyed on the shared
+    // partitioner. NOT persisted: both are SHUFFLED RDDs referenced by
+    // every iteration's lineage, so within one job their map stages run
+    // once and each round reads the shuffle output (stage sharing), and
+    // later actions skip the completed shuffle stages entirely — explicit
+    // caching would only duplicate the shuffle files into block storage.
+    val deg = edgesRdd.map { case (s, _) => (s, 1L) }.reduceByKey(part, _ + _)
+    val adj = edgesRdd.map { case (s, d) => (s, d) }.partitionBy(part).join(deg)
+    val nodes = edgesRdd.flatMap { case (s, d) => Iterator(s, d) }
+      .map((_, ())).reduceByKey(part, (a, _) => a)
+
+    var ranks: RDD[(Long, Long)] = nodes.mapValues(_ => scale) // keeps partitioner
+    var i = 0
+    while (i < iterations) {
+      val contribs = adj.join(ranks, part)
+        .map { case (_, ((d, dg), r)) => (d, r / dg) }
+        .reduceByKey(part, _ + _)
+      ranks = nodes.leftOuterJoin(contribs, part).mapValues {
+        case (_, c) => base + dampNum * c.getOrElse(0L) / dampDen
+      }
+      // fixed small iteration count ⇒ shallow lineage; truncate anyway
+      // every few rounds so a large `iterations` stays recovery-bounded
+      if ((i + 1) % 5 == 0) ranks = truncateRdd(ranks, reliable)
+      i += 1
+    }
+    ranks.toDF("node", "rank_fp")
+  }
+
+  private def pagerankDfLoop(e: DataFrame, iterations: Int, scale: Long,
+      dampNum: Long, dampDen: Long, base: Long, reliable: Boolean): DataFrame = {
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val adj = truncateDf(e.join(deg, "src"), reliable)
+    val nodes = truncateDf(
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+        .distinct(), reliable)
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        // integral division: `DIV`, not `/` (float) — exactness is the contract
+        .select(adj("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
+            .as("rank_fp"))
+      if ((i + 1) % 5 == 0) {
+        ranks = truncateDf(ranks, reliable)
+        ranks.count() // materialize the truncation point
+      }
+      i += 1
+    }
+    ranks
+  }
+}

@@ -304,6 +304,24 @@ object DataOpsQueries {
         phashPairs.unionByName(capPairs))
     }),
 
+    // -------------------------------------------------- link-graph family --
+    // Redirect-chain resolution by pointer doubling over the planted
+    // redirect graph (Fixture.redirects: in-block chains + every-10th-block
+    // 8-cycles). The oracle is the planted ground truth in closed form —
+    // the engine must RECOVER it by actually walking: chains resolve to
+    // their block head with exact hop counts; cycle members come back
+    // unresolved (the maxChain cap every HTTP client applies).
+    "g1_redirect_resolve" -> ((s, dir) =>
+      graft.ops.LinkGraph.resolveRedirects(Fixture.redirects(s, dir))),
+
+    // Fixed-point integer PageRank (3 iterations) over the deterministic
+    // link graph — frontier prioritization. All-integral arithmetic
+    // (rank DIV outdeg, cross-multiplied damping) makes an ITERATIVE
+    // numeric operator hash-exact cross-engine; the oracle unrolls the
+    // same three iterations as chained CTEs.
+    "g2_pagerank" -> ((s, dir) =>
+      graft.ops.LinkGraph.pagerank(Fixture.linkEdges(s, dir), iterations = 3)),
+
     // ------------------------------------------------ similarity search --
     // Brute-force top-k cosine (exact ANN baseline) on quantized vectors —
     // integer-exact dot/norms ⇒ bit-identical doubles ⇒ DuckDB oracle.
@@ -498,6 +516,36 @@ object DataOpsQueries {
        |SELECT id_a, id_b, jaccard_num, jaccard_den FROM p
        |WHERE jaccard_den > 0 AND jaccard_num * 5 >= jaccard_den * 4""".stripMargin
 
+  /** The g2 twin: the SAME fixed-point integer PageRank unrolled as
+    * chained CTEs — exact BIGINT arithmetic end to end (`//` is DuckDB's
+    * integral division, the twin of Spark's `DIV`; sums are CAST back
+    * from DuckDB's HUGEINT). base = (100−85)·10⁶ DIV 100 = 150000. */
+  private def pagerankOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // d.outdeg) AS BIGINT) AS c
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n2.node, CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n2 LEFT JOIN c$i c ON n2.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn) FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) FROM documents) t
+       |  WHERE src <> dst),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, r AS rank_fp FROM r$iterations""".stripMargin
+  }
+
   /** Recursive-CTE connected components over the multi-signal pair graph
     * (MinHash-verified ∪ simhash-hamming≤6) of `table` — the closure the
     * d9 query and e1's collapse stage must reproduce. Emits
@@ -562,6 +610,26 @@ object DataOpsQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
          |  FROM filtered)
          |SELECT source, doc_id, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // closed-form planted ground truth (see Fixture.redirects): the engine
+    // recovers it by pointer-doubling the edge walk. `cyc` marks members
+    // of blocks whose 8-cycle edge exists (block complete); the WHERE is
+    // exactly the source set (chain sources ∪ closed-block heads).
+    "g1_redirect_resolve" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |srcs AS (
+        |  SELECT doc_id,
+        |    (doc_id % 80 < 8 AND doc_id - (doc_id % 80) + 7 <= (SELECT mx FROM m)) AS cyc
+        |  FROM documents
+        |  WHERE doc_id % 8 <> 0
+        |     OR (doc_id % 80 = 0 AND doc_id + 7 <= (SELECT mx FROM m)))
+        |SELECT doc_id AS src,
+        |  CASE WHEN cyc THEN NULL ELSE doc_id - (doc_id % 8) END AS final_dst,
+        |  CASE WHEN cyc THEN NULL ELSE doc_id % 8 END AS hops,
+        |  cyc AS unresolved
+        |FROM srcs""".stripMargin,
+
+    "g2_pagerank" -> pagerankOracleSql(iterations = 3),
 
     "d3_simhash" -> SimhashOracle.sql,
 

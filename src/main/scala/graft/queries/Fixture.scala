@@ -112,4 +112,36 @@ object Fixture {
       .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
       .distinct()
   }
+
+  /** redirects(src, dst) — planted redirect graph over the dense doc_id
+    * domain (0..n−1): within each 8-block, i → i−1 (chains of 1..7 hops
+    * descending to the block head, which has no out-edge), and every 10th
+    * block closes into an 8-cycle via head → head+7 — added only when the
+    * block is complete (head+7 ≤ max id), so a truncated tail block
+    * degrades to a plain chain. Ground truth is therefore closed-form
+    * (the g1 oracle): non-cycle sources resolve to i − i%8 in i%8 hops;
+    * members of closed blocks are unresolved. */
+  def redirects(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"))
+    val withMx = d.crossJoin(broadcast(d.agg(max("doc_id").as("__mx"))))
+    withMx.filter(col("doc_id") % 8 =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      .unionByName(withMx
+        .filter(col("doc_id") % 80 === 0 && col("doc_id") + 7 <= col("__mx"))
+        .select(col("doc_id").as("src"), (col("doc_id") + 7).as("dst")))
+  }
+
+  /** linkEdges(src, dst) — deterministic link graph over the dense doc_id
+    * domain: each page links to (i+1)%n, (2i+1)%n and (7i+13)%n (n =
+    * max id + 1), self-loops dropped, deduped — out-degree 2..3, every id
+    * reachable. Twin SQL: the g2 oracle's `edges` CTE. */
+  def linkEdges(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"))
+    val withN = d.crossJoin(broadcast(d.agg((max("doc_id") + 1).as("__n"))))
+    Seq("doc_id + 1", "doc_id * 2 + 1", "doc_id * 7 + 13")
+      .map(f => withN.selectExpr("doc_id AS src", s"($f) % __n AS dst"))
+      .reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 }
