@@ -158,6 +158,29 @@ object SparkEntry {
       graft.streaming.Streaming.statefulHostLimiter(cand, budgetPerBatch = 3).toDF()
     }),
 
+    // Outlink extraction → next-frontier derivation: the crawl-loop step
+    // that turns fetched page bodies into new frontier candidates. Bodies
+    // are the documents with two deterministic embedded anchors (messy on
+    // purpose: uppercase host, :443 port, #fragment); extraction is the
+    // codegen'd regexp_extract_all builtin, then canonicalize → dedup →
+    // reference-count (the popularity prior a frontier scorer consumes).
+    "c26_outlink_frontier" -> ((s, dir) => {
+      val body = concat(col("text"),
+        lit(" <a href=\"https://H"), (col("doc_id") % 50).cast("string"),
+        lit(".EXAMPLE.com/p/"), col("doc_id").cast("string"), lit(".png\">x</a>"),
+        lit(" <a href=\"https://h"), ((col("doc_id") * 3) % 50).cast("string"),
+        lit(".example.com:443/hub/"), (col("doc_id") % 40).cast("string"),
+        lit(".png#f\">y</a>"))
+      Fixture.documents(s, dir)
+        .select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          explode(expr("""regexp_extract_all(body, 'href="([^"]+)"', 1)""")).as("link"))
+        .select(UrlCanon.canonicalUrl(col("link")).as("canonical_url"),
+          UrlCanon.hostOf(col("link")).as("host"))
+        .groupBy(col("canonical_url"), col("host"))
+        .agg(count(lit(1)).as("n_refs"))
+    }),
+
     // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
     // re-read → project. The oracle sees the ORIGINAL table, so a green row
     // proves the round trip is byte-faithful (text goes through an md5 so
@@ -285,6 +308,23 @@ object SparkEntry {
          |SELECT host, canonical_url, rk <= 3 AS granted,
          |  CAST(CASE WHEN rk <= 3 THEN rk ELSE 3 END AS BIGINT) AS host_total_granted
          |FROM r""".stripMargin,
+
+    // the oracle rebuilds the same page bodies, extracts with ITS OWN
+    // regexp_extract_all, and canonicalizes with the shared canon twin
+    "c26_outlink_frontier" ->
+      s"""WITH bodies AS (
+         |  SELECT doc_id, text ||
+         |    ' <a href="https://H' || CAST(doc_id % 50 AS VARCHAR) ||
+         |    '.EXAMPLE.com/p/' || CAST(doc_id AS VARCHAR) || '.png">x</a>' ||
+         |    ' <a href="https://h' || CAST((doc_id * 3) % 50 AS VARCHAR) ||
+         |    '.example.com:443/hub/' || CAST(doc_id % 40 AS VARCHAR) || '.png#f">y</a>' AS body
+         |  FROM documents),
+         |links AS (
+         |  SELECT unnest(regexp_extract_all(body, 'href="([^"]+)"', 1)) AS link
+         |  FROM bodies)
+         |SELECT ${OracleSql.canonSql("link")} AS canonical_url,
+         |  ${OracleSql.hostSql("link")} AS host, count(*) AS n_refs
+         |FROM links GROUP BY 1, 2""".stripMargin,
 
     // the oracle reads the ORIGINAL documents table — equality proves the
     // export → re-read round trip lost nothing

@@ -439,6 +439,34 @@ object DataOpsQueries {
         md5(col("text").cast("binary")).as("payload_md5"),
         (octet_length(col("text").cast("binary")) % 4).as("stub_channel"))),
 
+    // Image quality scoring — the multimodal twin of t2's text quality:
+    // per-image integer score from resolution tier, aspect sanity, format
+    // prior and caption presence. The Spark side does the REAL work —
+    // header decode of actual encoded bytes via the codegen'd kernels
+    // (decode_width/height, sniff_format), row-local and shuffle-free;
+    // the oracle rebuilds the planted metadata in closed form from the
+    // synthesis rules (Synth.wOf/hOf/fmtOf/captionOf), so a green row
+    // proves the decode path recovers exactly what was encoded.
+    "m2_image_quality" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          g.decodeWidth(col("bytes")).as("w"),
+          g.decodeHeight(col("bytes")).as("h"),
+          g.sniffFormat(col("bytes")).as("fmt"),
+          (length(trim(col("caption"))) > 0).as("caption_ok"))
+        .withColumn("quality_fp",
+          (when(col("w") * col("h") >= 2048, 3)
+            .when(col("w") * col("h") >= 512, 2)
+            .otherwise(1) * 1000 +
+          when(greatest(col("w"), col("h")) <= least(col("w"), col("h")) * 4, 500)
+            .otherwise(0) +
+          when(col("fmt") === "png", 2).when(col("fmt") === "xjpg", 1)
+            .otherwise(0) * 100 +
+          when(col("caption_ok"), 50).otherwise(0)).cast("long"))
+    }),
+
     // ------------------------------------------------- join/agg headliners --
     // Broadcast-dim join + aggregation (TPC-H Q3-ish shape): the dim side
     // must broadcast (verified in PlanSpec), the fact side never shuffles
@@ -783,6 +811,33 @@ object DataOpsQueries {
         |  md5(text) AS payload_md5,
         |  octet_length(CAST(text AS BLOB)) % 4 AS stub_channel
         |FROM documents""".stripMargin,
+
+    // the planted image metadata in closed form (Synth.wOf/hOf/fmtOf/
+    // captionOf incl. the every-50th dup-source redirect) + the same
+    // integer score arithmetic — green proves the engine's header-decode
+    // kernels recover exactly what the codecs encoded
+    "m2_image_quality" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 50 = 49 AND doc_id >= 25 THEN doc_id - 25
+        |         ELSE doc_id END AS src,
+        |    doc_id % 3 AS f, doc_id % 97 <> 0 AS caption_ok
+        |  FROM documents),
+        |m AS (
+        |  SELECT id,
+        |    CAST(CASE src % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |         ELSE 64 END AS INTEGER) AS w,
+        |    CAST(CASE (src + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |         ELSE 64 END AS INTEGER) AS h,
+        |    CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS fmt,
+        |    caption_ok
+        |  FROM meta)
+        |SELECT id, w, h, fmt, caption_ok,
+        |  CAST((CASE WHEN w*h >= 2048 THEN 3 WHEN w*h >= 512 THEN 2 ELSE 1 END) * 1000
+        |    + (CASE WHEN greatest(w, h) <= least(w, h) * 4 THEN 500 ELSE 0 END)
+        |    + (CASE WHEN fmt = 'png' THEN 2 WHEN fmt = 'xjpg' THEN 1 ELSE 0 END) * 100
+        |    + (CASE WHEN caption_ok THEN 50 ELSE 0 END) AS BIGINT) AS quality_fp
+        |FROM m""".stripMargin,
 
     "q2_join_agg" ->
       """SELECT o_orderpriority,
