@@ -84,21 +84,38 @@ object LinkGraph {
     * collected. Lineage is truncated every round like the CC loop.
     */
   def resolveRedirects(edges: DataFrame, maxChain: Int = 64): DataFrame = {
-    require(maxChain >= 1, s"maxChain must be >= 1, got $maxChain")
-    val spark = edges.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-
     // functionalize: one deterministic successor per source
-    val fn = truncateDf(edges
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .groupBy("src").agg(min(col("dst")).as("dst")), reliable)
+    val fn = functionalized(edges)
+    resolveWeighted(fn.select(col("src"), col("dst"), lit(1L).as("w")), maxChain)
+  }
+
+  private def functionalized(edges: DataFrame): DataFrame = edges
+    .filter(col("src").isNotNull && col("dst").isNotNull)
+    .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    .groupBy("src").agg(min(col("dst")).as("dst"))
+
+  /** The shared walk engine under [[resolveRedirects]] (unit weights) and
+    * [[updateRedirects]] (hop-weighted COMPRESSED edges): pointer doubling
+    * over a FUNCTIONAL (src, dst, w) edge set, where `w` is the number of
+    * original hops the edge stands for. Settling still needs only
+    * ⌈log₂ maxChain⌉+1 rounds (a compressed path within the cap has at
+    * most maxChain edges), total hops compose exactly (h + h'), and the
+    * unresolved classification is unchanged: an unsettled row after the
+    * round bound carries hops ≥ 2·maxChain (each round at least doubles
+    * an unsettled row's hops, weights ≥ 1), so `hops > maxChain` holds
+    * for precisely the walks the full (uncompressed) resolution would
+    * also refuse. */
+  private def resolveWeighted(fnw: DataFrame, maxChain: Int): DataFrame = {
+    require(maxChain >= 1, s"maxChain must be >= 1, got $maxChain")
+    val spark = fnw.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val fn = truncateDf(fnw, reliable)
     val edgeCount = fn.count() // materializes the checkpoint + dispatches
     val rounds = ceilLog2(maxChain) + 1
 
     val resolved =
       if (edgeCount == 0L) {
-        fn.select(col("src"), col("dst").as("__cur"), lit(1L).as("__hops"),
+        fn.select(col("src"), col("dst").as("__cur"), col("w").as("__hops"),
           lit(false).as("__settled"))
       } else if (edgeCount <= datasetThreshold(spark)) {
         redirectRddLoop(fn, edgeCount, rounds, reliable)
@@ -111,6 +128,89 @@ object LinkGraph {
       when(col("__settled") && col("__hops") <= maxChain, col("__cur")).as("final_dst"),
       when(col("__settled") && col("__hops") <= maxChain, col("__hops")).as("hops"),
       (!col("__settled") || col("__hops") > maxChain).as("unresolved"))
+  }
+
+  /** Fold a crawl batch's NEWLY DISCOVERED redirects into a stored
+    * resolution table — the redirect leg of the engine's incremental-
+    * maintenance set (seen: CuckooSeen.insert; ANN: Ivf.appendToIndex;
+    * band index: BandStore.append; labels: Dedup.updateComponents; THIS).
+    * Re-resolving the full edge history per batch is O(all redirects
+    * ever); here the walk re-runs ONLY over the rows the batch can touch.
+    *
+    * Append-only contract (asserted — violations THROW): a batch edge's
+    * src must have had no out-edge, i.e. redirects are DISCOVERED at
+    * previously-terminal urls (the natural crawl case: a url that used to
+    * serve content starts redirecting is a re-crawl event that
+    * invalidates compressed rows walking THROUGH it, which this table
+    * cannot see — rebuild via [[resolveRedirects]] for that).
+    *
+    * Correctness by compression: a stored row (src → final, hops) is a
+    * hop-weighted edge standing for its whole chain. The re-walk runs
+    * over exactly (a) AFFECTED stored rows — final_dst ∈ batch srcs: the
+    * only stored walks the new edges can extend; (b) the batch edges
+    * (weight 1); (c) stored rows whose src ∈ batch dsts — the compressed
+    * continuations a new edge can land on (an UNRESOLVED landing target —
+    * cycle member or over-cap walk — enters as a self-loop instead, so
+    * the lander inherits unresolved rather than stopping there as if it
+    * were a terminal). Any walk from an affected or
+    * batch src only ever reaches batch srcs (edges present), batch dsts
+    * (continuation rows present), or terminals — intermediate nodes of
+    * other chains are unreachable BECAUSE the rows are compressed — so
+    * this O(affected + batch) set is closed and the result is row-equal
+    * to full re-resolution (g3 oracle + LinkGraphSpec random splits).
+    * Unresolved rows pass through: cycle members all have out-edges (no
+    * append can change them) and an over-cap walk only lengthens.
+    *
+    * Like [[Dedup.updateComponents]], `newEdges` is consumed entirely
+    * during the call (checkpointed); `resolved` is re-scanned lazily by
+    * the pass-through at every downstream action and must stay cheap to
+    * re-read (store- or checkpoint-backed, as this engine's outputs are). */
+  def updateRedirects(resolved: DataFrame, newEdges: DataFrame,
+      maxChain: Int = 64): DataFrame = {
+    val spark = resolved.sparkSession
+    val neLazy = functionalized(newEdges)
+    val ne =
+      if (spark.sparkContext.getCheckpointDir.isDefined) neLazy.checkpoint()
+      else neLazy.localCheckpoint()
+    val conflicts = ne.join(resolved.select(col("src")), Seq("src"), "left_semi")
+    if (conflicts.limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "updateRedirects is append-only: a batch edge's src already has an " +
+          "out-edge (src " + conflicts.head().getLong(0) + ") — a CHANGED " +
+          "redirect invalidates compressed rows that walk through it; " +
+          "rebuild with resolveRedirects")
+
+    val newSrcs = ne.select(col("src").as("final_dst"))
+    // O(batch)-row right sides: AQE broadcasts both the semi and the anti
+    val affected = resolved.filter(!col("unresolved"))
+      .join(newSrcs, Seq("final_dst"), "left_semi")
+    val untouched = resolved.join(newSrcs, Seq("final_dst"), "left_anti")
+    val batchDsts = ne.select(col("dst").as("src")).distinct()
+    val continuations = resolved.filter(!col("unresolved"))
+      .join(batchDsts, Seq("src"), "left_semi")
+    // a batch edge can also land on an UNRESOLVED stored src (a cycle
+    // member or over-cap walk) — the lander must inherit unresolved, so
+    // those targets enter the walk as self-loops, which never settle
+    // (caught by the random-split spec: without this the walk SETTLES at
+    // the poisoned node as if it were a terminal)
+    val poisoned = resolved.filter(col("unresolved"))
+      .join(batchDsts, Seq("src"), "left_semi")
+      .select(col("src"), col("src").as("dst"), lit(1L).as("w"))
+
+    val walkEdges = affected
+      .select(col("src"), col("final_dst").as("dst"), col("hops").as("w"))
+      .unionByName(continuations
+        .select(col("src"), col("final_dst").as("dst"), col("hops").as("w")))
+      .unionByName(poisoned)
+      .unionByName(ne.select(col("src"), col("dst"), lit(1L).as("w")))
+      .distinct() // affected ∩ continuations rows are identical duplicates
+    val rewalked = resolveWeighted(walkEdges, maxChain)
+
+    // rewalked wins for its srcs (continuation rows re-emit unchanged;
+    // affected and batch rows re-emit re-resolved)
+    rewalked.unionByName(
+      untouched.join(rewalked.select(col("src")), Seq("src"), "left_anti")
+        .select(col("src"), col("final_dst"), col("hops"), col("unresolved")))
   }
 
   private def ceilLog2(n: Int): Int =
@@ -128,8 +228,8 @@ object LinkGraph {
     import spark.implicits._
     val part = sharedPartitioner(spark, edgeCount, fn.rdd.getNumPartitions)
 
-    var state: RDD[(Long, (Long, Long, Boolean))] = fn.as[(Long, Long)].rdd
-      .map { case (s, d) => (s, (d, 1L, false)) }
+    var state: RDD[(Long, (Long, Long, Boolean))] = fn.as[(Long, Long, Long)].rdd
+      .map { case (s, d, w) => (s, (d, w, false)) }
       .partitionBy(part)
     var unsettled = edgeCount
     var r = 0
@@ -154,7 +254,7 @@ object LinkGraph {
   private def redirectDfLoop(fn: DataFrame, rounds: Int,
       reliable: Boolean): DataFrame = {
     var state = fn.select(col("src"), col("dst").as("__cur"),
-      lit(1L).as("__hops"), lit(false).as("__settled"))
+      col("w").as("__hops"), lit(false).as("__settled"))
     var unsettled = Long.MaxValue
     var r = 0
     while (unsettled > 0 && r < rounds) {

@@ -322,6 +322,26 @@ object DataOpsQueries {
     "g2_pagerank" -> ((s, dir) =>
       graft.ops.LinkGraph.pagerank(Fixture.linkEdges(s, dir), iterations = 3)),
 
+    // Incremental redirect-table maintenance: the SAME planted redirect
+    // graph arrives in two batches (by edge hash — redirects DISCOVERED
+    // across two crawl batches); batch 1 is resolved, batch 2 folded in
+    // with updateRedirects, whose re-walk touches only affected stored
+    // rows + the batch (the stored rows are hop-weighted COMPRESSED
+    // edges). Oracle = g1's one-shot closed form: green = incremental ≡
+    // full re-resolution, including batches that extend stored chains
+    // and close stored terminals into cycles. Completes the incremental-
+    // maintenance set (seen / ANN / band / labels / redirects).
+    "g3_redirect_update" -> ((s, dir) => {
+      val edges = Fixture.redirects(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val b1 = edges.filter(xxhash64(col("src"), col("dst")) % 2 === 0)
+        val b2 = edges.filter(xxhash64(col("src"), col("dst")) % 2 =!= 0)
+        graft.ops.LinkGraph.updateRedirects(
+          graft.ops.LinkGraph.resolveRedirects(b1), b2)
+      } finally { edges.unpersist(); () }
+    }),
+
     // ------------------------------------------------ similarity search --
     // Brute-force top-k cosine (exact ANN baseline) on quantized vectors —
     // integer-exact dot/norms ⇒ bit-identical doubles ⇒ DuckDB oracle.
@@ -544,6 +564,23 @@ object DataOpsQueries {
        |SELECT id_a, id_b, jaccard_num, jaccard_den FROM p
        |WHERE jaccard_den > 0 AND jaccard_num * 5 >= jaccard_den * 4""".stripMargin
 
+  /** The g1/g3 twin: Fixture.redirects' planted ground truth in closed
+    * form (chains to the block head in i%8 hops; complete every-10th
+    * blocks are 8-cycles → unresolved). */
+  private val redirectOracleSql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |srcs AS (
+      |  SELECT doc_id,
+      |    (doc_id % 80 < 8 AND doc_id - (doc_id % 80) + 7 <= (SELECT mx FROM m)) AS cyc
+      |  FROM documents
+      |  WHERE doc_id % 8 <> 0
+      |     OR (doc_id % 80 = 0 AND doc_id + 7 <= (SELECT mx FROM m)))
+      |SELECT doc_id AS src,
+      |  CASE WHEN cyc THEN NULL ELSE doc_id - (doc_id % 8) END AS final_dst,
+      |  CASE WHEN cyc THEN NULL ELSE doc_id % 8 END AS hops,
+      |  cyc AS unresolved
+      |FROM srcs""".stripMargin
+
   /** The g2 twin: the SAME fixed-point integer PageRank unrolled as
     * chained CTEs — exact BIGINT arithmetic end to end (`//` is DuckDB's
     * integral division, the twin of Spark's `DIV`; sums are CAST back
@@ -643,21 +680,13 @@ object DataOpsQueries {
     // recovers it by pointer-doubling the edge walk. `cyc` marks members
     // of blocks whose 8-cycle edge exists (block complete); the WHERE is
     // exactly the source set (chain sources ∪ closed-block heads).
-    "g1_redirect_resolve" ->
-      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
-        |srcs AS (
-        |  SELECT doc_id,
-        |    (doc_id % 80 < 8 AND doc_id - (doc_id % 80) + 7 <= (SELECT mx FROM m)) AS cyc
-        |  FROM documents
-        |  WHERE doc_id % 8 <> 0
-        |     OR (doc_id % 80 = 0 AND doc_id + 7 <= (SELECT mx FROM m)))
-        |SELECT doc_id AS src,
-        |  CASE WHEN cyc THEN NULL ELSE doc_id - (doc_id % 8) END AS final_dst,
-        |  CASE WHEN cyc THEN NULL ELSE doc_id % 8 END AS hops,
-        |  cyc AS unresolved
-        |FROM srcs""".stripMargin,
+    "g1_redirect_resolve" -> redirectOracleSql,
 
     "g2_pagerank" -> pagerankOracleSql(iterations = 3),
+
+    // incremental ≡ full: the g3 query resolves batch 1 then folds batch 2
+    // into the stored table; the truth is the one-shot closed form
+    "g3_redirect_update" -> redirectOracleSql,
 
     "d3_simhash" -> SimhashOracle.sql,
 

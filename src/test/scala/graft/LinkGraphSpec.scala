@@ -103,6 +103,68 @@ class LinkGraphSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("updateRedirects: extensions, new chains, new cycles equal full re-resolution") {
+    // stored: chains 0→1→2→3 (terminal 3), 10→11 (terminal 11), and a
+    // pre-existing cycle 50↔51
+    val oldEdges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 10L -> 11L, 50L -> 51L, 51L -> 50L)
+    // batch: 3 starts redirecting (extends every chain ending at 3), a
+    // brand-new chain 30→31, 11 redirecting BACK closes a cycle, and 52
+    // lands on a stored cycle member (must inherit unresolved)
+    val batch = Seq(3L -> 20L, 20L -> 21L, 30L -> 31L, 11L -> 10L, 52L -> 50L)
+    val got = collectResolved(LinkGraph.updateRedirects(
+      LinkGraph.resolveRedirects(edgesDf(oldEdges)), edgesDf(batch)))
+    val full = collectResolved(LinkGraph.resolveRedirects(edgesDf(oldEdges ++ batch)))
+    assert(got === full)
+    assert(got(0L) === ((Some(21L), Some(5L), false)), "stored chain must extend through the new edges")
+    assert(got(10L) === ((None, None, true)), "a closed-back terminal must become a cycle")
+    assert(got(52L) === ((None, None, true)), "landing on a stored cycle member must inherit unresolved")
+    assert(got(30L) === ((Some(31L), Some(1L), false)))
+  }
+
+  test("updateRedirects: walks crossing maxChain become unresolved, like the full walk") {
+    val oldEdges = (0L until 6L).map(i => i -> (i + 1)) // 0→…→6, longest walk 6
+    val batch = (6L until 11L).map(i => i -> (i + 1))   // extends to 11 hops
+    val got = collectResolved(LinkGraph.updateRedirects(
+      LinkGraph.resolveRedirects(edgesDf(oldEdges), maxChain = 8),
+      edgesDf(batch), maxChain = 8))
+    val full = collectResolved(
+      LinkGraph.resolveRedirects(edgesDf(oldEdges ++ batch), maxChain = 8))
+    assert(got === full)
+    assert(got(0L) === ((None, None, true)), "0's walk is now 11 > 8 hops")
+    assert(got(3L) === ((Some(11L), Some(8L), false)), "hops == maxChain still resolves")
+  }
+
+  test("updateRedirects: a changed (non-append) redirect is refused") {
+    val stored = LinkGraph.resolveRedirects(edgesDf(Seq(0L -> 1L, 1L -> 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.updateRedirects(stored, edgesDf(Seq(1L -> 5L))).count()
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
+  test("updateRedirects: random edge splits equal one-shot resolution, both engines") {
+    for (seed <- Seq(11L, 47L)) {
+      val n = 150
+      val edges = (0 until n).flatMap { i =>
+        val h = graft.imagecodec.ImageCodec.mix64(seed * 7919L + i)
+        if (math.floorMod(h, 5) == 0) None
+        else Some(i.toLong -> math.floorMod(h >> 8, n.toLong))
+      }
+      // a functional edge set has ONE out-edge per src, so ANY split is
+      // append-only (batch srcs cannot already have an edge in batch 1)
+      val (b1, b2) = edges.partition { case (s, d) =>
+        graft.imagecodec.ImageCodec.mix64(s * 31L + d) % 2 == 0
+      }
+      def run() = collectResolved(LinkGraph.updateRedirects(
+        LinkGraph.resolveRedirects(edgesDf(b1), maxChain = 16),
+        edgesDf(b2), maxChain = 16))
+      val full = collectResolved(
+        LinkGraph.resolveRedirects(edgesDf(edges), maxChain = 16))
+      assert(run() === full, s"RDD engine diverged at seed $seed")
+      assert(withDfEngine(run()) === full, s"DataFrame engine diverged at seed $seed")
+    }
+  }
+
   /** Exact integer reference of [[LinkGraph.pagerank]]. */
   private def pagerankRef(edges: Seq[(Long, Long)], iters: Int,
       scale: Long = 1000000L, num: Long = 85, den: Long = 100): Map[Long, Long] = {
