@@ -29,6 +29,43 @@ object SparkEntry {
   private def decSum(c: String, as: String) =
     sum(col(c).cast(DecimalType(18, 6))).cast("double").as(as)
 
+  /** (canonical_url, host, n_refs): the next-frontier candidate set
+    * extracted from fetched page bodies — shared by c26 (the step in
+    * isolation) and e4 (the composed crawl loop). */
+  private def outlinkFrontier(s: SparkSession, dir: String): DataFrame = {
+    val body = concat(col("text"),
+      lit(" <a href=\"https://H"), (col("doc_id") % 50).cast("string"),
+      lit(".EXAMPLE.com/p/"), col("doc_id").cast("string"), lit(".png\">x</a>"),
+      lit(" <a href=\"https://h"), ((col("doc_id") * 3) % 50).cast("string"),
+      lit(".example.com:443/hub/"), (col("doc_id") % 40).cast("string"),
+      lit(".png#f\">y</a>"))
+    Fixture.documents(s, dir)
+      .select(col("doc_id"), body.as("body"))
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(body, 'href="([^"]+)"', 1)""")).as("link"))
+      .select(UrlCanon.canonicalUrl(col("link")).as("canonical_url"),
+        UrlCanon.hostOf(col("link")).as("host"))
+      .groupBy(col("canonical_url"), col("host"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
+  /** DuckDB twin of [[outlinkFrontier]], as a `ofrontier` CTE body. */
+  private def outlinkFrontierCte: String =
+    s"""bodies AS (
+       |  SELECT doc_id, text ||
+       |    ' <a href="https://H' || CAST(doc_id % 50 AS VARCHAR) ||
+       |    '.EXAMPLE.com/p/' || CAST(doc_id AS VARCHAR) || '.png">x</a>' ||
+       |    ' <a href="https://h' || CAST((doc_id * 3) % 50 AS VARCHAR) ||
+       |    '.example.com:443/hub/' || CAST(doc_id % 40 AS VARCHAR) || '.png#f">y</a>' AS body
+       |  FROM documents),
+       |links AS (
+       |  SELECT unnest(regexp_extract_all(body, 'href="([^"]+)"', 1)) AS link
+       |  FROM bodies),
+       |ofrontier AS (
+       |  SELECT ${OracleSql.canonSql("link")} AS canonical_url,
+       |    ${OracleSql.hostSql("link")} AS host, count(*) AS n_refs
+       |  FROM links GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
     RefOpsQueries.queries ++ DataOpsQueries.queries
 
@@ -164,21 +201,25 @@ object SparkEntry {
     // purpose: uppercase host, :443 port, #fragment); extraction is the
     // codegen'd regexp_extract_all builtin, then canonicalize → dedup →
     // reference-count (the popularity prior a frontier scorer consumes).
-    "c26_outlink_frontier" -> ((s, dir) => {
-      val body = concat(col("text"),
-        lit(" <a href=\"https://H"), (col("doc_id") % 50).cast("string"),
-        lit(".EXAMPLE.com/p/"), col("doc_id").cast("string"), lit(".png\">x</a>"),
-        lit(" <a href=\"https://h"), ((col("doc_id") * 3) % 50).cast("string"),
-        lit(".example.com:443/hub/"), (col("doc_id") % 40).cast("string"),
-        lit(".png#f\">y</a>"))
-      Fixture.documents(s, dir)
-        .select(col("doc_id"), body.as("body"))
-        .select(col("doc_id"),
-          explode(expr("""regexp_extract_all(body, 'href="([^"]+)"', 1)""")).as("link"))
-        .select(UrlCanon.canonicalUrl(col("link")).as("canonical_url"),
-          UrlCanon.hostOf(col("link")).as("host"))
-        .groupBy(col("canonical_url"), col("host"))
-        .agg(count(lit(1)).as("n_refs"))
+    "c26_outlink_frontier" -> ((s, dir) => outlinkFrontier(s, dir)),
+
+    // The composed crawl loop — what one full iteration of the crawler
+    // actually runs, as ONE lazy plan (no driver round-trip between
+    // stages): outlink frontier (c26's extract→canon→refcount) → seen
+    // gate (anti join against the already-fetched page set — 1/3 of the
+    // /p/ pages, planted arithmetically) → politeness-capped fetch list,
+    // top-5 urls per host prioritized by reference count through the
+    // bounded weighted top-k aggregator (no per-host window sort — a hot
+    // host at 10^10 urls is k reduce-side rows).
+    "e4_crawl_loop" -> ((s, dir) => {
+      val seen = Fixture.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(UrlCanon.canonicalUrl(concat(
+          lit("https://H"), (col("doc_id") % 50).cast("string"),
+          lit(".EXAMPLE.com/p/"), col("doc_id").cast("string"), lit(".png")))
+          .as("canonical_url"))
+      val fresh = outlinkFrontier(s, dir)
+        .join(seen, Seq("canonical_url"), "left_anti")
+      graft.ops.Sampling.topKWeighted(fresh, "host", "canonical_url", "n_refs", k = 5)
     }),
 
     // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
@@ -312,19 +353,26 @@ object SparkEntry {
     // the oracle rebuilds the same page bodies, extracts with ITS OWN
     // regexp_extract_all, and canonicalizes with the shared canon twin
     "c26_outlink_frontier" ->
-      s"""WITH bodies AS (
-         |  SELECT doc_id, text ||
-         |    ' <a href="https://H' || CAST(doc_id % 50 AS VARCHAR) ||
-         |    '.EXAMPLE.com/p/' || CAST(doc_id AS VARCHAR) || '.png">x</a>' ||
-         |    ' <a href="https://h' || CAST((doc_id * 3) % 50 AS VARCHAR) ||
-         |    '.example.com:443/hub/' || CAST(doc_id % 40 AS VARCHAR) || '.png#f">y</a>' AS body
-         |  FROM documents),
-         |links AS (
-         |  SELECT unnest(regexp_extract_all(body, 'href="([^"]+)"', 1)) AS link
-         |  FROM bodies)
-         |SELECT ${OracleSql.canonSql("link")} AS canonical_url,
-         |  ${OracleSql.hostSql("link")} AS host, count(*) AS n_refs
-         |FROM links GROUP BY 1, 2""".stripMargin,
+      s"""WITH $outlinkFrontierCte
+         |SELECT canonical_url, host, n_refs FROM ofrontier""".stripMargin,
+
+    // composed crawl loop: c26's frontier CTE → already-fetched anti join
+    // (the 1/3 planted /p/ page set) → per-host top-5 window rank, the
+    // oracle twin of the bounded weighted top-k aggregator
+    "e4_crawl_loop" ->
+      s"""WITH $outlinkFrontierCte,
+         |seen AS (
+         |  SELECT ${OracleSql.canonSql(
+             "('https://H' || CAST(doc_id % 50 AS VARCHAR) || '.EXAMPLE.com/p/' || CAST(doc_id AS VARCHAR) || '.png')")} AS canonical_url
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |fresh AS (
+         |  SELECT * FROM ofrontier o
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = o.canonical_url)),
+         |r AS (
+         |  SELECT host, canonical_url, CAST(n_refs AS BIGINT) AS n_refs,
+         |    row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, canonical_url) AS rk
+         |  FROM fresh)
+         |SELECT host, canonical_url, n_refs, rk FROM r WHERE rk <= 5""".stripMargin,
 
     // the oracle reads the ORIGINAL documents table — equality proves the
     // export → re-read round trip lost nothing

@@ -17,6 +17,35 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-corpus line dedup (the C4/RefinedWeb boilerplate-removal step):
+    * for every distinct line KEEP exactly the globally-first occurrence —
+    * smallest (doc id, line number) — and mark every other occurrence
+    * dropped. Returns the input rows plus a `keep` boolean; reassembly of
+    * the surviving document text is the caller's per-doc aggregate (d14).
+    *
+    * Scale shape: the group key is `md5(line)` (16 bytes), not the line
+    * text, so the shuffle carries fingerprints instead of page-sized
+    * strings — the same trick as [[exact]]. (doc, line_no) packs into ONE
+    * BIGINT so the argmin is a HashAggregate with map-side partials
+    * (`min(struct(...))` plans as SortAggregate — see Scheduler). The
+    * join back to the input reuses the aggregate's own exchange on the
+    * fingerprint: two linear shuffles total, no window, no skew trap (a
+    * boilerplate line duplicated a billion times is ONE reduce-side min).
+    *
+    * `lineNoBits` bounds line numbers per doc (packed = doc<<bits | line);
+    * callers with >2^20-line documents raise it. */
+  def lineVerdicts(lines: DataFrame, docCol: String, lineNoCol: String,
+      lineCol: String, lineNoBits: Int = 20): DataFrame = {
+    require(lineNoBits > 0 && lineNoBits < 44, s"lineNoBits out of range: $lineNoBits")
+    val packed = (col(docCol).cast("long") * (1L << lineNoBits)) +
+      col(lineNoCol).cast("long")
+    val hashed = lines.withColumn("__h", md5(col(lineCol).cast("binary")))
+    val first = hashed.groupBy(col("__h")).agg(min(packed).as("__first"))
+    hashed.join(first, "__h")
+      .withColumn("keep", packed === col("__first"))
+      .drop("__h", "__first")
+  }
+
   /** Word k-shingles of a text column (lowercased), as an array column.
     * tokenize = codegen'd builtins; the k-gram construction is a kernel
     * expression (the `transform(sequence, i -> concat_ws(slice))` form is

@@ -83,6 +83,67 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Bounded weighted top-k with a STRING payload: keeps the k
+    * (weight, payload) pairs ranked by weight DESC then payload ASC —
+    * the anchor-text/top-URL aggregation shape (a1). Same scale argument
+    * as [[TopKByHash]]: O(k) state per group, map-side partials, no
+    * per-group sort — a hub page with 10^8 distinct anchors costs the
+    * reduce side k rows, not a window sort. */
+  final class TopKWeighted(k: Int)
+      extends Aggregator[(Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+
+    private def precedes(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Long, String)] = Vector.empty
+
+    override def reduce(buf: Seq[(Long, String)], in: (Long, String)): Seq[(Long, String)] = {
+      val at = buf.indexWhere(!precedes(_, in))
+      if (at < 0) { if (buf.length < k) buf :+ in else buf }
+      else ((buf.take(at) :+ in) ++ buf.drop(at)).take(k)
+    }
+
+    override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] = {
+      val out = Vector.newBuilder[(Long, String)]
+      var ia = 0
+      var ib = 0
+      var n = 0
+      val lim = math.min(a.length + b.length, k)
+      while (n < lim) {
+        val takeA = ib >= b.length || (ia < a.length && !precedes(b(ib), a(ia)))
+        if (takeA) { out += a(ia); ia += 1 } else { out += b(ib); ib += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+  }
+
+  /** k payload strings per group by weight DESC, payload ASC. Output:
+    * (groupCol STRING, payloadCol STRING, weightCol LONG, rk LONG). */
+  def topKWeighted(df: DataFrame, groupCol: String, payloadCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKWeighted(k).toColumn
+    df.select(col(groupCol).cast("string").as("g"),
+        col(weightCol).cast("long").as("w"), col(payloadCol).cast("string").as("p"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg)
+      .flatMap { case (g, items) =>
+        items.iterator.zipWithIndex.map { case ((w, p), i) => (g, p, w, (i + 1).toLong) }
+      }
+      .toDF(groupCol, payloadCol, weightCol, "rk")
+  }
+
   /** k rows per group, ranked by the cross-engine id hash. Output columns:
     * (groupCol STRING, idCol LONG, rk LONG with rk in 1..k). */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {

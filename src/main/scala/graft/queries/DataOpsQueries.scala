@@ -149,6 +149,30 @@ object DataOpsQueries {
       } finally { pairs.unpersist(); () }
     }),
 
+    // Cross-corpus line dedup — the C4/RefinedWeb boilerplate-removal
+    // pass: over a multi-line page corpus (per-doc content chunks +
+    // planted boilerplate footers + a corpus-wide cookie banner —
+    // Fixture.docLines), keep exactly the globally-first occurrence of
+    // every distinct line and reassemble each document's surviving text.
+    // The md5 of the reassembled text cross-checks line ORDER as well as
+    // content (DuckDB rebuilds it with string_agg ORDER BY line_no); docs
+    // that lose every line (all-boilerplate pages — they exist at every
+    // sf) must hash the empty string identically in both engines.
+    "d14_line_dedup" -> ((s, dir) => {
+      val v = Dedup.lineVerdicts(Fixture.docLines(s, dir), "doc_id", "line_no", "line")
+      v.groupBy(col("doc_id")).agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        // order-aware reassembly: collect_list skips the nulled dropped
+        // lines, array_sort orders by the struct's leading line_no; the
+        // transform HOF is interpreted but runs on a ≤5-element array
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").cast("binary")).as("new_md5"))
+    }),
+
     // End-to-end corpus-build composition — the query a training-data user
     // actually runs, all within ONE lazy plan chain (no driver round-trip
     // between stages): exact dedup survivors → near-dup collapse (connected
@@ -448,6 +472,25 @@ object DataOpsQueries {
       graft.ops.Sampling.stratifiedSample(
         Fixture.documents(s, dir), "source", "doc_id", k = 5)),
 
+    // Anchor-text aggregation per link target — the relevance signal web
+    // search/crawl pipelines attach to pages (anchors pointing AT a page
+    // describe it better than its own content). Each fetched body emits
+    // two (target, anchor) links with deterministic phrase variation;
+    // per-target top-3 anchors by reference count run through the bounded
+    // weighted top-k aggregator — map-side partials, O(k) state, no
+    // per-target window sort (a hub page with 10^8 distinct anchors would
+    // otherwise sort in one task — the same trap s1 avoids).
+    "a1_anchor_topk" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir)
+      val links = d.select((col("doc_id") % 40).as("target"),
+          concat(lit("anchor phrase "), (col("doc_id") % 5).cast("string")).as("anchor"))
+        .unionByName(d.select(((col("doc_id") * 3) % 40).as("target"),
+          concat(lit("read more "), (col("doc_id") % 3).cast("string")).as("anchor")))
+      val counts = links.groupBy(col("target"), col("anchor"))
+        .agg(count(lit(1)).as("n_refs"))
+      graft.ops.Sampling.topKWeighted(counts, "target", "anchor", "n_refs", k = 3)
+    }),
+
     // ---------------------------------------------------- multimodal stub --
     // Binary-column plumbing: payload as opaque binary + typed metadata;
     // the real decode is graft.imagecodec (tested in ExtractSpec); here the
@@ -642,6 +685,27 @@ object DataOpsQueries {
          |${componentsSqlFor("documents")}
          |SELECT doc_id, component_rep FROM comp""".stripMargin,
 
+    // the lines CTE is Fixture.docLines verbatim; keeper = the globally
+    // smallest packed (doc_id, line_no) per distinct line, exactly
+    // Dedup.lineVerdicts' argmin; string_agg ORDER BY reassembles in line
+    // order (coalesce: a doc that loses every line hashes '')
+    "d14_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS line_no,
+        |    array_to_string((string_split(text, ' '))[1:3], ' ') AS line FROM documents
+        |  UNION ALL SELECT doc_id, 1, array_to_string((string_split(text, ' '))[4:6], ' ') FROM documents
+        |  UNION ALL SELECT doc_id, 2, array_to_string((string_split(text, ' '))[7:9], ' ') FROM documents
+        |  UNION ALL SELECT doc_id, 3, 'footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT doc_id, 4, 'accept cookies to continue' FROM documents WHERE doc_id % 3 = 0),
+        |first AS (SELECT md5(line) AS h, min(doc_id * 1048576 + line_no) AS f FROM lines GROUP BY 1),
+        |v AS (SELECT l.doc_id, l.line_no, l.line, (l.doc_id * 1048576 + l.line_no = f.f) AS keep
+        |      FROM lines l JOIN first f ON md5(l.line) = f.h)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '')) AS new_md5
+        |FROM v GROUP BY doc_id""".stripMargin,
+
     // composed corpus-build pipeline: every stage is the SQL twin of the
     // corresponding Spark operator, chained over the same intermediate
     // sets (exact survivors → component collapse → quality/repetition
@@ -689,6 +753,23 @@ object DataOpsQueries {
     "g3_redirect_update" -> redirectOracleSql,
 
     "d3_simhash" -> SimhashOracle.sql,
+
+    // the links CTE mirrors the a1 query's deterministic anchor synthesis;
+    // the window rank is the oracle twin of the bounded top-k aggregator
+    // (weight DESC, payload ASC — same total order, so row-equal)
+    "a1_anchor_topk" ->
+      """WITH links AS (
+        |  SELECT doc_id % 40 AS target,
+        |    'anchor phrase ' || CAST(doc_id % 5 AS VARCHAR) AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 3) % 40, 'read more ' || CAST(doc_id % 3 AS VARCHAR) FROM documents),
+        |counts AS (SELECT target, anchor, count(*) AS n_refs FROM links GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT CAST(target AS VARCHAR) AS target, anchor,
+        |    CAST(n_refs AS BIGINT) AS n_refs,
+        |    row_number() OVER (PARTITION BY target ORDER BY n_refs DESC, anchor) AS rk
+        |  FROM counts)
+        |SELECT target, anchor, n_refs, rk FROM ranked WHERE rk <= 3""".stripMargin,
 
     // ground truth of the planted cross-format image dups, in closed form
     // (Synth.dupSourceOf: every 50th image re-encodes the pixels of i-25);

@@ -131,6 +131,30 @@ object Fixture {
         .select(col("doc_id").as("src"), (col("doc_id") + 7).as("dst")))
   }
 
+  /** docLines(doc_id, line_no, line) — the documents table re-shaped as a
+    * multi-line page corpus for cross-corpus line dedup (d14): three
+    * 3-token content chunks from the doc's own text (word-soup, so chunk
+    * collisions across docs are organic near-boilerplate), a per-doc
+    * footer shared by every doc with the same `doc_id % 7` (planted
+    * boilerplate, 7 distinct lines corpus-wide) and, on every third doc, a
+    * corpus-wide cookie banner — the exact nuisance lines the C4 pipeline
+    * strips. Pure arithmetic + fixed-index token slices: shuffle-free in
+    * Spark and reproduced verbatim by the d14 oracle's `lines` CTE. */
+  def docLines(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    def chunk(no: Int, from: Int) = d.select(
+      col("doc_id"), lit(no.toLong).as("line_no"),
+      array_join(slice(split(col("text"), " "), from, 3), " ").as("line"))
+    chunk(0, 1)
+      .unionByName(chunk(1, 4))
+      .unionByName(chunk(2, 7))
+      .unionByName(d.select(col("doc_id"), lit(3L).as("line_no"),
+        concat(lit("footer boilerplate "), (col("doc_id") % 7).cast("string")).as("line")))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit(4L).as("line_no"),
+          lit("accept cookies to continue").as("line")))
+  }
+
   /** linkEdges(src, dst) — deterministic link graph over the dense doc_id
     * domain: each page links to (i+1)%n, (2i+1)%n and (7i+13)%n (n =
     * max id + 1), self-loops dropped, deduped — out-degree 2..3, every id

@@ -393,4 +393,55 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L))
   }
+
+  test("line dedup: globally-first occurrence survives, every later copy drops") {
+    import spark.implicits._
+    // doc 0: [x, y]; doc 1: [y, z]; doc 2: [z, x, u] — y and z recur
+    // across docs, x recurs later WITHIN the corpus at a higher (doc,line)
+    val lines = Seq(
+      (0L, 0L, "x"), (0L, 1L, "y"),
+      (1L, 0L, "y"), (1L, 1L, "z"),
+      (2L, 0L, "z"), (2L, 1L, "x"), (2L, 2L, "u")
+    ).toDF("doc_id", "line_no", "line")
+    val v = Dedup.lineVerdicts(lines, "doc_id", "line_no", "line")
+    val kept = v.filter(col("keep")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("line_no"))).toSet
+    assert(kept == Set((0L, 0L), (0L, 1L), (1L, 1L), (2L, 2L)),
+      s"wrong survivors: $kept")
+    assert(v.count() == 7, "verdicts must preserve every input row")
+    // scale contract: the argmin is a hash aggregate over the packed
+    // BIGINT, never a SortAggregate over a struct buffer
+    val plan = v.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), "line argmin must hash-aggregate")
+  }
+
+  test("line dedup: tie order is line_no within the same doc") {
+    import spark.implicits._
+    // same line twice in ONE doc: the smaller line_no wins
+    val lines = Seq((5L, 3L, "dup"), (5L, 1L, "dup")).toDF("doc_id", "line_no", "line")
+    val kept = Dedup.lineVerdicts(lines, "doc_id", "line_no", "line")
+      .filter(col("keep")).collect().map(_.getAs[Long]("line_no")).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("weighted top-k aggregator == window rank (weight DESC, payload ASC); no Window planned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random weights incl. ties; group sizes 1, 3, 60
+    val rows = Seq((0L, "solo", 7L)) ++
+      (0 until 3).map(i => (1L, s"p$i", 5L)) ++ // all-tie group: payload ASC decides
+      (0 until 60).map(i => (2L, f"q$i%02d", graft.imagecodec.ImageCodec.mix64(i * 17L) % 10))
+    val df = rows.toDF("target", "anchor", "n")
+    val k = 4
+    val got = graft.ops.Sampling.topKWeighted(df, "target", "anchor", "n", k)
+    val w = Window.partitionBy(col("target")).orderBy(col("n").desc, col("anchor"))
+    val expect = df.select(col("target").cast("string").as("target"), col("anchor"), col("n"))
+      .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val gotSet = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSet == expect,
+      s"top-k diverged: ${(gotSet diff expect).take(3)} / ${(expect diff gotSet).take(3)}")
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "weighted top-k must not plan a window sort")
+  }
 }
