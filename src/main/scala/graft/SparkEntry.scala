@@ -222,6 +222,56 @@ object SparkEntry {
       graft.ops.Sampling.topKWeighted(fresh, "host", "canonical_url", "n_refs", k = 5)
     }),
 
+    // Freshness-driven recrawl scheduling — the operator that decides
+    // WHICH already-crawled pages a crawl batch revisits: per-url fetch
+    // history (age since last fetch, change rate over past fetches,
+    // derived arithmetically from the frontier so the oracle shares it)
+    // scores priority = change_rate × age in pure integer arithmetic
+    // (change_rate_fp = changes·1000 DIV fetches — cross-engine exact),
+    // then the bounded weighted top-k aggregator picks each host's top-3
+    // revisits: O(k) state per host, map-side partials, no per-host
+    // window sort (the same Zipf-hot-host posture as e4/a1).
+    "c28_recrawl_priority" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir).select(
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+        UrlCanon.hostOf(col("url")).as("host"),
+        col("seed_rank"))
+      val hist = f.groupBy(col("canonical_url"), col("host"))
+        .agg(min(col("seed_rank")).as("sr"))
+        .select(col("canonical_url"), col("host"),
+          (col("sr") % 720).as("age_hours"),
+          (lit(1) + col("sr") % 13).as("n_fetches"),
+          least(col("sr") % 7, lit(1) + col("sr") % 13).as("n_changes"))
+      val scored = hist.select(col("host"), col("canonical_url"),
+        (expr("(n_changes * 1000) DIV n_fetches") * (lit(1) + col("age_hours")))
+          .as("priority_fp"))
+      graft.ops.Sampling.topKWeighted(scored, "host", "canonical_url", "priority_fp", k = 3)
+    }),
+
+    // Visible-text extraction from fetched HTML — the step between raw
+    // page bytes and every downstream text operator. Bodies wrap each
+    // document in deterministic HTML exercising all strip classes:
+    // script (with a bare '<' in code), style, comments, entity-encoded
+    // text in both title and body. The whole chain is codegen'd regex
+    // builtins in the Java∩RE2 dialect; the oracle runs it verbatim.
+    "c27_html_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; if (x) { go(); }</script>"),
+        lit("<style>.c{color:#fff}</style></head><body><h1>Section "),
+        (col("doc_id") % 7).cast("string"), lit("</h1>"),
+        lit("<!-- crawl-id "), col("doc_id").cast("string"), lit(" --><p>"),
+        col("text"),
+        lit("</p><p>tail &lt;b&gt; &quot;quoted&#39;s&quot;</p></body></html>"))
+      Fixture.documents(s, dir)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          graft.extract.HtmlText.title(col("html")).as("title"),
+          md5(graft.extract.HtmlText.visibleText(col("html")).cast("binary")).as("text_md5"),
+          length(graft.extract.HtmlText.visibleText(col("html"))).as("n_chars"))
+    }),
+
     // K2 JSONL.gz export sink (reference s2processor.py:209-236): write →
     // re-read → project. The oracle sees the ORIGINAL table, so a green row
     // proves the round trip is byte-faithful (text goes through an md5 so
@@ -373,6 +423,59 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, canonical_url) AS rk
          |  FROM fresh)
          |SELECT host, canonical_url, n_refs, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // same arithmetic history, same integer scoring (`//` = DIV), window
+    // rank as the bounded-aggregator twin
+    "c28_recrawl_priority" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |hist AS (
+         |  SELECT canonical_url, host, min(seed_rank) AS sr
+         |  FROM cfrontier GROUP BY 1, 2),
+         |h2 AS (
+         |  SELECT canonical_url, host, sr % 720 AS age_hours,
+         |    1 + sr % 13 AS n_fetches,
+         |    least(sr % 7, 1 + sr % 13) AS n_changes
+         |  FROM hist),
+         |scored AS (
+         |  SELECT host, canonical_url,
+         |    CAST(((n_changes * 1000) // n_fetches) * (1 + age_hours) AS BIGINT) AS priority_fp
+         |  FROM h2),
+         |r AS (
+         |  SELECT host, canonical_url, priority_fp,
+         |    row_number() OVER (PARTITION BY host ORDER BY priority_fp DESC, canonical_url) AS rk
+         |  FROM scored)
+         |SELECT host, canonical_url, priority_fp, rk FROM r WHERE rk <= 3""".stripMargin,
+
+    // the verbatim same strip chain (inline (?is)/(?s) flags are RE2 ∩
+    // Java; DuckDB needs the explicit 'g' that Spark applies implicitly);
+    // length() CAST to INTEGER to match Spark's int-typed length
+    "c27_html_text" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title>' ||
+        |    '<script type="text/javascript">var x = 1 < 2; if (x) { go(); }</script>' ||
+        |    '<style>.c{color:#fff}</style></head><body><h1>Section ' || CAST(doc_id % 7 AS VARCHAR) || '</h1>' ||
+        |    '<!-- crawl-id ' || CAST(doc_id AS VARCHAR) || ' --><p>' || text ||
+        |    '</p><p>tail &lt;b&gt; &quot;quoted&#39;s&quot;</p></body></html>' AS html
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS vt,
+        |    trim(replace(replace(replace(replace(replace(
+        |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')) AS title
+        |  FROM h)
+        |SELECT doc_id, title, md5(vt) AS text_md5,
+        |  CAST(length(vt) AS INTEGER) AS n_chars
+        |FROM v""".stripMargin,
 
     // the oracle reads the ORIGINAL documents table — equality proves the
     // export → re-read round trip lost nothing

@@ -67,4 +67,32 @@ object TextAnalysis {
     * text (rolling-hash analog, portable). */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  // ------------------------------------------------------------ PII --
+  // Training-data PII scrub: detect + redact emails / phone numbers /
+  // IPv4 addresses before anything reaches a training corpus. The
+  // patterns stay in the dialect-safe intersection of Java regex (Spark)
+  // and RE2 (the DuckDB oracle): character classes, bounded repetition
+  // and ASCII \b only — no backreferences, no lookaround. Spark's
+  // RegExpReplace/RegExpExtractAll are codegen'd builtins, so the whole
+  // scrub is row-local, shuffle-free, and inside WholeStageCodegen at
+  // any scale.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** match count of `pattern` in `c` (global). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Redact all three PII classes with typed placeholders. Order is part
+    * of the contract (emails first — their local/domain parts may contain
+    * digits and dots that the narrower patterns could then half-match):
+    * email → ipv4 → phone, pinned identically in the oracle SQL. */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Sessionize, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables (builder prompt: dedup family, similarity search, text
@@ -472,6 +472,75 @@ object DataOpsQueries {
       graft.ops.Sampling.stratifiedSample(
         Fixture.documents(s, dir), "source", "doc_id", k = 5)),
 
+    // Benchmark decontamination — distinct-5-gram overlap of every corpus
+    // doc against a broadcast benchmark set (the GPT-3/PaLM eval-leakage
+    // gate). Benchmark = the doc_id%20==7 docs plus a planted probe
+    // phrase; corpus docs at doc_id%16==11 quote a probe phrase whose
+    // index matches a benchmark phrase only when doc_id%5 ∈ {0,2} — so
+    // the contaminated flag fires STRUCTURALLY at every scale factor
+    // (the organic hits are near-dups of benchmark docs, which the
+    // corpus also plants). The oracle recomputes the same overlap with
+    // its own n-gram construction over the ngram STRINGS; the engine
+    // joins on the 60-bit hash — equality proves the hashed broadcast
+    // probe loses nothing.
+    "t6_decontaminate" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir)
+      val probe = array_join(array_repeat(
+        concat(lit("q"), (col("doc_id") % 5).cast("string")), 5), " ")
+      val docs = d.filter(col("doc_id") % 20 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 16 === 11, concat(col("text"), lit(" "), probe))
+            .otherwise(col("text")).as("text"))
+      val benchProbe = array_join(array_repeat(
+        when(col("doc_id") % 40 === 7, lit("q0")).otherwise(lit("q2")), 5), " ")
+      val bench = d.filter(col("doc_id") % 20 === 7)
+        .select(concat(col("text"), lit(" "), benchProbe).as("text"))
+      Contamination.overlap(docs, bench, "text", "doc_id", k = 5, threshold = 1)
+    }),
+
+    // PII scrub — detect + redact emails/phones/IPv4 before text enters a
+    // training corpus. PII is planted deterministically (the corpus text
+    // itself carries no digits or '@', so the patterns' work is exact and
+    // the oracle can re-derive it with DuckDB's RE2 engine — the patterns
+    // live in the Java-regex ∩ RE2 dialect). The whole scrub is row-local
+    // codegen'd builtins: shuffle-free at any scale.
+    "t7_pii_scrub" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir)
+      val body = concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit(" mail user"), (col("doc_id") % 97).cast("string"),
+          lit("@m"), (col("doc_id") % 7).cast("string"), lit(".example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" tel 555-"), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 200).cast("string"),
+          lit("."), (col("doc_id") % 250).cast("string"), lit(" up")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("body"), TextAnalysis.emailPattern).as("n_emails"),
+          TextAnalysis.piiCount(col("body"), TextAnalysis.phonePattern).as("n_phones"),
+          TextAnalysis.piiCount(col("body"), TextAnalysis.ipv4Pattern).as("n_ips"),
+          md5(TextAnalysis.redactPii(col("body")).cast("binary")).as("redacted_md5"))
+    }),
+
+    // Gap-based sessionization over the events table (30-min gap): ONE
+    // shuffle on user_id, in-task time-ordered pass, session boundaries
+    // from exact integer microsecond gaps — the canonical event-stream
+    // operator (crawl twin: per-host fetch-burst sessions). The rollup
+    // reuses the window's own exchange.
+    "st2_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Fixture.events(s, dir), "user_id", "ts", "event_id",
+          gapSeconds = 1800,
+          extraAggs = Seq(decSum(col("value"), "sum_value")))
+        .select(col("user_id"), col("session_no"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))),
+
     // Anchor-text aggregation per link target — the relevance signal web
     // search/crawl pipelines attach to pages (anchors pointing AT a page
     // describe it better than its own content). Each fetched body emits
@@ -553,6 +622,41 @@ object DataOpsQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
           decSum(col("c_acctbal"), "sum_acctbal"))
+    }),
+
+    // Native session windows (Catalyst's merging-sessions operator — the
+    // idiomatic Spark sessionizer, batch AND streaming from one
+    // expression): session end = last event + gap, an event at EXACTLY
+    // end starts a new session (contrast st2's explicit-numbering op,
+    // which keeps a gap-equal event — both split rules exist in the
+    // wild; the engine offers both). Streaming twin with watermark:
+    // Streaming.sessionizedEventSums, stream ≡ batch in StreamingSpec.
+    "st3_session_window" -> ((s, dir) =>
+      Fixture.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value"), "sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))),
+
+    // Thumbnail derivation — the multimodal resize step (store a small
+    // preview next to the original): nearest-neighbor resize to half
+    // resolution via the codegen'd resize_nn kernel, re-encoded in the
+    // SOURCE format, then header-decoded back. Row-local, shuffle-free;
+    // bytes never leave the task. The oracle states the planted
+    // metadata's closed form — green proves decode → resize → re-encode
+    // → decode round-trips exactly.
+    "m3_thumbnail" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          g.resizeNN(col("bytes"),
+            (g.decodeWidth(col("bytes")) / 2).cast("int"),
+            (g.decodeHeight(col("bytes")) / 2).cast("int")).as("thumb"))
+        .select(col("id"),
+          g.decodeWidth(col("thumb")).as("thumb_w"),
+          g.decodeHeight(col("thumb")).as("thumb_h"),
+          g.sniffFormat(col("thumb")).as("thumb_fmt"))
     }),
 
     // Event-time hourly windowed aggregation — the BATCH twin of the
@@ -915,6 +1019,76 @@ object DataOpsQueries {
         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk FROM h)
         |SELECT source, doc_id, rk FROM r WHERE rk <= 5""".stripMargin,
 
+    // same planted bodies, DuckDB's own n-gram construction (string join,
+    // not the 60-bit hash) — equality proves the hashed broadcast probe
+    // is lossless
+    "t6_decontaminate" ->
+      """WITH dbod AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 16 = 11
+        |    THEN text || ' ' || trim(repeat('q' || CAST(doc_id % 5 AS VARCHAR) || ' ', 5))
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 20 <> 7),
+        |bbod AS (
+        |  SELECT text || ' ' || trim(repeat(CASE WHEN doc_id % 40 = 7 THEN 'q0 ' ELSE 'q2 ' END, 5)) AS text
+        |  FROM documents WHERE doc_id % 20 = 7),
+        |dsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks)-4, 0)),
+        |    i -> array_to_string(toks[i+1:i+5], ' ')))) AS ng
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM dbod)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks)-4, 0)),
+        |    i -> array_to_string(toks[i+1:i+5], ' ')))) AS ng
+        |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM bbod)),
+        |hits AS (SELECT doc_id, count(*) AS n FROM dsh JOIN bsh USING (ng) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n, 0) >= 1 AS contaminated
+        |FROM dbod d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // DuckDB's RE2 runs the same dialect-intersection patterns and the
+    // same email → ipv4 → phone redaction order
+    "t7_pii_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' mail user' || CAST(doc_id % 97 AS VARCHAR) ||
+        |      '@m' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+        |      '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |      ' up' ELSE '' END AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(body, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(body,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM b""".stripMargin,
+
+    // identical window arithmetic in exact integer microseconds; the sum
+    // over the int flag comes back HUGEINT → CAST for the type-sensitive
+    // compare
+    "st2_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sdf AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM o)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sdf GROUP BY 1, 2""".stripMargin,
+
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS payload_bytes,
@@ -968,7 +1142,47 @@ object DataOpsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the native session window's STRICT split rule (>= gap starts a new
+    // session; end = last event + gap) as window arithmetic; ts-ties land
+    // in one session whatever their order, so ORDER BY ts alone is
+    // deterministic for the grouping
+    "st3_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sdf AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sdf GROUP BY user_id, sn""".stripMargin,
+
+    // the planted image metadata's closed form, halved — the thumbnail's
+    // decoded header must land exactly there in the SOURCE format
+    "m3_thumbnail" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 50 = 49 AND doc_id >= 25 THEN doc_id - 25
+        |         ELSE doc_id END AS src,
+        |    doc_id % 3 AS f
+        |  FROM documents)
+        |SELECT id,
+        |  CAST((CASE src % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |        ELSE 64 END) // 2 AS INTEGER) AS thumb_w,
+        |  CAST((CASE (src + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |        ELSE 64 END) // 2 AS INTEGER) AS thumb_h,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS thumb_fmt
+        |FROM meta""".stripMargin
   )
 }
 

@@ -35,6 +35,26 @@ object Streaming {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Session-window aggregation with watermark — Catalyst's NATIVE
+    * merging-sessions operator (no hand-rolled state): in streaming it is
+    * state-store-backed and a session finalizes exactly when the
+    * watermark passes its end (last event + gap). Prefer this to a
+    * `flatMapGroupsWithState` sessionizer — the built-in merges partial
+    * sessions map-side and its state is managed/evictable. Batch twin:
+    * `st3_session_window`; stream ≡ batch asserted in StreamingSpec. */
+  def sessionizedEventSums(spark: SparkSession, eventsPath: String,
+      schema: StructType, gap: String = "30 minutes"): DataFrame =
+    spark.readStream.schema(schema).parquet(eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Per-host crawl-state row for the stateful politeness limiter. */
   final case class HostState(granted: Long, deferred: Long)
   final case class GrantDecision(host: String, canonical_url: String,

@@ -78,6 +78,45 @@ class StreamingSpec extends SparkSpec {
     assert(batchH0.getLong(0) == 2 && batchH0.getDouble(1) == 101.0)
   }
 
+  test("native session windows: streaming sessions finalize at the watermark ≡ batch st3") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("sess-src").toString
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    val outDir = Files.createTempDirectory("sess-out").toString + "/o"
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = Streaming.sessionizedEventSums(spark, srcDir, schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    // a far-future "closer" row pushes the watermark past every real
+    // session so append mode finalizes them all; its own session stays
+    // open (excluded below)
+    val closerTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val closer = Seq((-1L, closerTs, -1L, "x", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(schema.fieldNames.map(col): _*)
+    val tmp = Files.createTempDirectory("sess-stage").toString + "/w"
+    closer.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$srcDir/closer.parquet"))
+    runOnce()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3), r.getDouble(4))
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .filter(col("user_id") >= 0)
+      .collect().map(key).toSet
+    val batch = SparkEntry.queries("st3_session_window")(spark, "/root/testdata/sf0.001")
+      .collect().map(key).toSet
+    assert(got == batch, s"stream sessions != batch: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("stateful host limiter grants budget per micro-batch, state persists across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
