@@ -36,25 +36,25 @@ object HtmlText {
   // regexp_extract both SEARCH, not full-match) — no .* anchors needed
   private val titlePat = "(?is)<title[^>]*>(.*?)</title>"
 
+  /** The five core entities, decode order pinned (`&amp;` LAST so
+    * `&amp;lt;` yields the literal `&lt;`, never a second decode) —
+    * shared by body and title so the two can't diverge. */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
   /** The visible text of an HTML payload, whitespace-normalized. */
   def visibleText(html: Column): Column = {
     val noScript = regexp_replace(html, scriptPat, " ")
     val noStyle = regexp_replace(noScript, stylePat, " ")
     val noComment = regexp_replace(noStyle, commentPat, " ")
     val noTags = regexp_replace(noComment, tagPat, " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
   /** The <title> content (first match), entity-decoded and trimmed;
     * empty string when the page has none. */
-  def title(html: Column): Column = {
-    val raw = regexp_extract(html, titlePat, 1)
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(raw) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(decoded)
-  }
+  def title(html: Column): Column =
+    trim(decodeEntities(regexp_extract(html, titlePat, 1)))
 }

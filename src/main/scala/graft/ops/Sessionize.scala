@@ -23,7 +23,13 @@ object Sessionize {
 
   /** Input rows + (session_no, is_session_start): session_no numbers a
     * key's sessions 1..n in time order. Ties within a timestamp break by
-    * `idCol` so the numbering is deterministic. */
+    * `idCol` so the numbering is deterministic.
+    *
+    * Null-timestamp rows are EXCLUDED (a row with no event time has no
+    * place on the key's timeline — left in, it would poison the lag
+    * arithmetic into a NULL `is_session_start` and silently fold into
+    * the neighboring session); callers that must keep them route them
+    * around the operator. */
   def withSessions(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
@@ -35,6 +41,7 @@ object Sessionize {
     val prev = lag(us, 1).over(w)
     val isStart = prev.isNull || (us - prev > gapSeconds * 1000000L)
     events
+      .filter(col(tsCol).isNotNull)
       .withColumn("is_session_start", isStart)
       .withColumn("session_no",
         sum(when(isStart, 1L).otherwise(0L))

@@ -116,6 +116,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 2L), (10L, 2L, 2L), (20L, 1L, 1L)))
   }
 
+  test("sessionize: null-timestamp rows are excluded, never folded into a neighbor session") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq((1L, 1L, Option(t)), (2L, 1L, None), (3L, 1L, Option(t)))
+      .toDF("event_id", "user_id", "ts")
+    val rows = Sessionize.withSessions(events, "user_id", "ts", "event_id", 1800).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("is_session_start"))))
+  }
+
   test("sessionize: simultaneous timestamps break ties by id — deterministic numbering") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
