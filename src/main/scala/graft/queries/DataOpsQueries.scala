@@ -560,6 +560,23 @@ object DataOpsQueries {
       graft.ops.Sampling.topKWeighted(counts, "target", "anchor", "n_refs", k = 3)
     }),
 
+    // Corpus vocabulary build — the tokenizer-training prelude (count
+    // every word, keep the global top-k): ONE group through the bounded
+    // weighted top-k aggregator, which is exactly its worst case and
+    // exactly why it scales — each map task keeps O(k) state and emits k
+    // partial rows, so the single reducer merges partitions×k rows, never
+    // the 10^10-row word stream (a window/orderBy global top-k would sort
+    // the corpus in one task). Weight ties break payload-ASC, matching
+    // the oracle's (count DESC, word ASC) rank exactly.
+    "v1_vocab_topk" -> ((s, dir) => {
+      val counts = Fixture.documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("corpus", lit("all"))
+      graft.ops.Sampling.topKWeighted(counts, "corpus", "word", "n", k = 20)
+    }),
+
     // ---------------------------------------------------- multimodal stub --
     // Binary-column plumbing: payload as opaque binary + typed metadata;
     // the real decode is graft.imagecodec (tested in ExtractSpec); here the
@@ -1088,6 +1105,17 @@ object DataOpsQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sdf GROUP BY 1, 2""".stripMargin,
+
+    "v1_vocab_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+        |r AS (
+        |  SELECT 'all' AS corpus, word, CAST(n AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY n DESC, word) AS rk
+        |  FROM c)
+        |SELECT corpus, word, n, rk FROM r WHERE rk <= 20""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,
