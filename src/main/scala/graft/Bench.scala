@@ -51,6 +51,11 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best-of-2 wall time — the maintenance/graph sections' least-
+    * interference estimator (single shots swing ~5x with neighbor
+    * bursts); a rep-policy change happens HERE, once. */
+  private def min2(f: => Unit): Double = math.min(time(f), time(f))
+
   /** Benchmark fixture, built UNTIMED once per (urls, layout):
     *  - the seen snapshot as parquet (persistent state from prior crawls);
     *  - the payload store as a BUCKETED parquet table on image_id, so the
@@ -64,11 +69,18 @@ object Bench {
     * rebuilds its stores with mode=overwrite anyway; a 12M-url store is
     * ~16 GB and stale ones from earlier rounds can exhaust /tmp).
     *
-    * Scoped to entries whose newest file is older than `maxAgeMs`: an
-    * unconditional sweep would delete a CONCURRENT bench run's live store
-    * out from under it (crashes or silently wrong fixture reads). A live
-    * run keeps writing, so its newest mtime stays fresh; only orphans
-    * from dead runs age past the threshold. */
+    * Two reclaim rules, either sufficient:
+    *  - an entry whose name carries a `pid<N>` segment naming a DEAD
+    *    process is an orphan (session-scoped stores — the per-session
+    *    band stores — get a fresh path every run, so without liveness
+    *    tracking a burst of runs inside the age window would accumulate
+    *    unreclaimed; the pid rides in the NAME because the store's own
+    *    mode=overwrite write would delete any marker file inside);
+    *  - an entry whose newest file is older than `maxAgeMs` (covers
+    *    unnamed debris and pid reuse).
+    * A CONCURRENT run's store is protected by both: its pid is alive and
+    * it keeps writing, so its newest mtime stays fresh. */
+  private val ownerPidPattern = java.util.regex.Pattern.compile("pid(\\d+)")
   private def sweepStaleStores(maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
     def newestMtime(f: java.io.File): Long =
       (f.lastModified() +:
@@ -76,14 +88,23 @@ object Bench {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    def ownerDead(entry: java.io.File): Boolean = {
+      val m = ownerPidPattern.matcher(entry.getName)
+      m.find() && !ProcessHandle.of(m.group(1).toLong)
+        .map[Boolean](_.isAlive).orElse(false)
+    }
     val now = System.currentTimeMillis()
     Option(new java.io.File("/tmp/graft-store").listFiles()).foreach(_.foreach { entry =>
-      if (now - newestMtime(entry) > maxAgeMs) rm(entry)
+      if (ownerDead(entry) || now - newestMtime(entry) > maxAgeMs) rm(entry)
     })
   }
 
   private def buildFixture(spark: SparkSession, nUrls: Long, parts: Int): Fixture = {
-    val seenDir = java.nio.file.Files.createTempDirectory(s"seen-$parts").toString
+    // under the swept store root with the owner pid in the name — a
+    // createTempDirectory path would never be reclaimed (a 12M-url seen
+    // snapshot is ~200 MB per run, and runs accumulate)
+    val seenDir =
+      s"/tmp/graft-store/seen_pid${ProcessHandle.current().pid()}_${parts}_$nUrls"
     CrawlPipeline.planAll(spark, CrawlPipeline.Config(nUrls = nUrls / 4,
         numPartitions = parts)).select("canonical_url")
       .write.mode("overwrite").parquet(seenDir)
@@ -357,7 +378,6 @@ object Bench {
       shards.count() // the existing campaign filter — built once, untimed
       // min-of-2, like the query section: these two jobs are the numbers
       // BASELINE.md cites and single shots swing ~5× with neighbor bursts
-      def min2(f: => Unit): Double = math.min(time(f), time(f))
       val tRebuild = min2 {
         graft.seen.CuckooSeen.buildShards(seenM.unionByName(batch),
           cpus, expectedPerShard = exp).map(_.n_items).reduce(_ + _)
@@ -453,7 +473,6 @@ object Bench {
       val store = root + "/store"
       graft.ops.BandStore.write(sigs, "id", "sig", store,
         numBands = 8, bits = 64, prefixBits = 4) // the existing index, untimed
-      def min2(f: => Unit): Double = math.min(time(f), time(f))
       val tRebuild = min2 {
         graft.ops.BandStore.write(sigs.unionByName(batchB), "id", "sig",
           root + "/rebuild", numBands = 8, bits = 64, prefixBits = 4)
@@ -517,7 +536,6 @@ object Bench {
           .select((col("id") + nLabels * 2).as("id_a"), (col("id") + nLabels * 3).as("id_b")))
         .localCheckpoint()
       batch.count()
-      def min2(f: => Unit): Double = math.min(time(f), time(f))
       var rowsFull = 0L
       var rowsSplit = 0L
       spark.conf.set("graft.cc.touchedSplitThreshold", String.valueOf(Long.MaxValue))

@@ -142,9 +142,14 @@ object BandStore {
     * `(band, bpfx)` set — bounded by `numBands × 2^prefixBits` (512 at
     * the defaults), INDEPENDENT of batch and corpus size — folds into
     * the store scan as a partition filter (plan-asserted in
-    * BandStoreSpec). The bucket join then broadcasts the batch side when
-    * it fits; a giant batch degrades to a shuffled join on the same keys,
-    * never to a corpus scan.
+    * BandStoreSpec). The bucket join broadcasts the batch side only when
+    * its MEASURED banded row count fits `graft.band.broadcastMaxRows`
+    * (default 2M banded rows ≈ 100 MB; the count rides the same job that
+    * collects the touched-dir set, no extra scan); a giant batch takes a
+    * shuffled join on the same keys — never a corpus scan, and never a
+    * driver-breaking forced broadcast (an unconditional `broadcast()`
+    * hint is honored past every safety threshold and collects the whole
+    * banded batch to the driver).
     *
     * The batch source is scanned twice (touched-set collect + the join) —
     * banding itself is row-local codegen'd work, so no persist is managed
@@ -172,8 +177,12 @@ object BandStore {
       .select(col("id").as("batch_id"), col("__sig").as("batch_sig"),
         col("band"), col("bucket"), col("bpfx"))
     val dirKey = col("band") * lit(1 << m.prefixBits) + col("bpfx")
-    // bounded: ≤ numBands × 2^prefixBits values, whatever the batch size
-    val touched = b.select(dirKey.as("k")).distinct().collect().map(_.getInt(0)).toSeq
+    // bounded: ≤ numBands × 2^prefixBits rows, whatever the batch size —
+    // and the same aggregate measures the banded batch size for the
+    // broadcast decision below (one job, two facts)
+    val perDir = b.groupBy(dirKey.as("k")).agg(count(lit(1)).as("n")).collect()
+    val touched = perDir.map(_.getInt(0)).toSeq
+    val bandedRows = perDir.map(_.getLong(1)).sum
     // explicit schema (id's type taken from the batch — the two sides must
     // agree for the bucket join anyway): no inference job, and an EMPTY
     // store (freshly write()-initialized, no data files yet) reads as an
@@ -189,9 +198,14 @@ object BandStore {
       .filter(dirKey.isin(touched: _*))
       .select(col("id").as("store_id"), col("sig").as("store_sig"),
         col("band"), col("bucket"))
+    val maxBroadcastRows = spark.conf.getOption("graft.band.broadcastMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    val probeSide = b.drop("bpfx")
+    val joinSide =
+      if (bandedRows <= maxBroadcastRows) broadcast(probeSide) else probeSide
     // filter BEFORE the distinct: hamming is deterministic per pair, so
     // pairs beyond the ball never enter the dedup shuffle
-    store.join(broadcast(b.drop("bpfx")), Seq("band", "bucket"))
+    store.join(joinSide, Seq("band", "bucket"))
       .select(col("store_id"), col("batch_id"),
         bit_count(col("store_sig").bitwiseXOR(col("batch_sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

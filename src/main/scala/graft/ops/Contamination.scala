@@ -25,10 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Cross-engine 60-bit md5-prefix hash (the repo standard: DuckDB twin
-    * is `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  private def h60(c: Column): Column = CrossHash.md5Hash60(c)
 
   /** The benchmark's distinct hashed n-gram set — build once per eval
     * suite, reuse across corpus scans. */

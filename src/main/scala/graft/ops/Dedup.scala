@@ -33,7 +33,14 @@ object Dedup {
     * boilerplate line duplicated a billion times is ONE reduce-side min).
     *
     * `lineNoBits` bounds line numbers per doc (packed = doc<<bits | line);
-    * callers with >2^20-line documents raise it. */
+    * callers with >2^20-line documents raise it.
+    *
+    * NULL lines (a failed extraction) keep: SQL's null ≠ null means a
+    * missing line is never a duplicate OF anything, and the left join +
+    * coalesce below returns those rows with `keep = true` instead of
+    * silently dropping them through the hash join's null key (an inner
+    * join on md5(NULL) = NULL would make the row vanish and the caller's
+    * reassembly under-count vs its input). */
   def lineVerdicts(lines: DataFrame, docCol: String, lineNoCol: String,
       lineCol: String, lineNoBits: Int = 20): DataFrame = {
     require(lineNoBits > 0 && lineNoBits < 44, s"lineNoBits out of range: $lineNoBits")
@@ -41,8 +48,8 @@ object Dedup {
       col(lineNoCol).cast("long")
     val hashed = lines.withColumn("__h", md5(col(lineCol).cast("binary")))
     val first = hashed.groupBy(col("__h")).agg(min(packed).as("__first"))
-    hashed.join(first, "__h")
-      .withColumn("keep", packed === col("__first"))
+    hashed.join(first, Seq("__h"), "left")
+      .withColumn("keep", coalesce(packed === col("__first"), lit(true)))
       .drop("__h", "__first")
   }
 
@@ -278,8 +285,7 @@ object Dedup {
       maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def truncatedDf(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    def truncatedDf(df: DataFrame): DataFrame = IterSupport.truncateDf(df, reliable)
 
     // canonical undirected edges u < v; self-pairs and null ids dropped;
     // checkpointed so BOTH engines start from materialized blocks and the
@@ -320,30 +326,14 @@ object Dedup {
     import spark.implicits._
     val initRdd = init.as[(Long, Long)].rdd
 
-    // The iteration's shuffle width is sized from the MEASURED edge count,
-    // not the input's partitioning (AQE coalesces a small distinct() to
-    // one partition; a toy edge set across the session's full shuffle
-    // width would pay ~6 stages × width empty-task scheduling per round —
-    // AQE itself cannot coalesce across RDD rounds). RDD tuple ops process
-    // ~0.5M rows/s/thread (measured — boxed Tuple2 hash maps, no
-    // Tungsten), so partitions are kept small enough that compute, not
-    // scheduling, fills each task.
-    val edgesPerPartition = spark.conf.getOption("graft.cc.edgesPerPartition")
-      .map(_.toLong).getOrElse(50000L)
-    val widthCeiling = math.max(initRdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(widthCeiling, (edgeCount / edgesPerPartition + 1).toInt)))
-
-    def truncated(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
-      if (reliable) {
-        // persist first: a reliable checkpoint otherwise recomputes the
-        // round in a second job when it writes the checkpoint files
-        e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        e.checkpoint()
-      } else e.localCheckpoint() // materializes in the checksum action
-      e
-    }
+    // shuffle width from the MEASURED edge count + per-round lineage
+    // truncation — the rules shared with the LinkGraph loops, one
+    // definition in [[IterSupport]] (RDD tuple ops process ~0.5M
+    // rows/s/thread measured, so partitions are kept small enough that
+    // compute, not scheduling, fills each task)
+    val part = IterSupport.sharedPartitioner(spark, edgeCount, initRdd.getNumPartitions)
+    def truncated(e: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      IterSupport.truncateRdd(e, reliable) // materializes in the checksum action
 
     // large-star: every node attaches its STRICTLY LARGER neighbors to
     // the minimum of its closed neighborhood. One shuffle for the

@@ -30,31 +30,17 @@ object LinkGraph {
     spark.conf.getOption("graft.graph.datasetThreshold")
       .map(_.toLong).getOrElse(500000L)
 
-  /** Shared shuffle-width rule with the CC engine: size the iteration's
-    * partitioner from the MEASURED edge count (~50k edges/partition), not
-    * the input's partitioning — AQE coalesces a small distinct() to one
-    * partition and cannot re-plan across RDD rounds. */
+  // shuffle-width rule + lineage truncation shared with the CC engine —
+  // one definition in [[IterSupport]]
   private def sharedPartitioner(spark: SparkSession, edgeCount: Long,
-      inputParts: Int): HashPartitioner = {
-    val edgesPerPartition = spark.conf.getOption("graft.cc.edgesPerPartition")
-      .map(_.toLong).getOrElse(50000L)
-    val ceiling = math.max(inputParts, spark.sparkContext.defaultParallelism)
-    new HashPartitioner(
-      math.max(1, math.min(ceiling, (edgeCount / edgesPerPartition + 1).toInt)))
-  }
+      inputParts: Int): HashPartitioner =
+    IterSupport.sharedPartitioner(spark, edgeCount, inputParts)
 
-  private def truncateRdd[T](rdd: RDD[T], reliable: Boolean): RDD[T] = {
-    if (reliable) {
-      // persist first: a reliable checkpoint otherwise recomputes the
-      // round in a second job when it writes the checkpoint files
-      rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      rdd.checkpoint()
-    } else rdd.localCheckpoint()
-    rdd
-  }
+  private def truncateRdd[T](rdd: RDD[T], reliable: Boolean): RDD[T] =
+    IterSupport.truncateRdd(rdd, reliable)
 
   private def truncateDf(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    IterSupport.truncateDf(df, reliable)
 
   // -------------------------------------------------------------------
   // Redirect-chain resolution

@@ -22,10 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 60-bit cross-engine id hash: Spark `conv(substring(md5(...)))` ==
-    * DuckDB `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)`. */
-  def idHash(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+  /** 60-bit cross-engine id hash — [[CrossHash.md5Hash60]] over the id's
+    * string form. */
+  def idHash(id: Column): Column = CrossHash.md5Hash60(id.cast("string"))
 
   /** Bounded top-k by ascending (hash, id): buffer is a packed
     * `[h0,id0,h1,id1,...]` array kept sorted, never more than k pairs. */

@@ -30,9 +30,10 @@ object DataOpsQueries {
     * two text-near-dup detectors voting into ONE pair graph, which is what
     * [[graft.ops.Dedup.connectedComponents]] then collapses (d9/e1). */
   /** Cross-engine 60-bit md5-prefix token hash (shared with d3's simhash
-    * and the s1 rank hash — the repo's standard DuckDB-reproducible hash). */
+    * and the s1 rank hash — the repo's standard DuckDB-reproducible hash,
+    * one definition in [[graft.ops.CrossHash]]). */
   private def md5TokenHash(t: org.apache.spark.sql.Column) =
-    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.ops.CrossHash.md5Hash60(t)
 
   /** (doc_id, sig): the d3-identical 60-bit simhash of a docs frame —
     * the signature the d11 band store persists and probes. */
@@ -42,11 +43,16 @@ object DataOpsQueries {
         transform(split(lower(trim(col("text"))), "\\s+"), t => md5TokenHash(t)), 60).as("sig"))
 
   /** Band-store location, scoped per (session, sf dir) under the bench
-    * store root (stale entries age out via Bench.sweepStaleStores). */
+    * store root. Session-scoped paths never collide across runs — which
+    * also means nothing overwrites them, so the owning JVM's pid rides in
+    * the DIRECTORY NAME (a pidfile inside would not survive the store's
+    * own mode=overwrite write) and Bench.sweepStaleStores reclaims the
+    * entry the moment that pid dies; the age threshold alone would let a
+    * burst of runs accumulate unreclaimed inside its window. */
   private def bandStorePath(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sess = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
-    s"/tmp/graft-store/bandstore_${tag}_$sess"
+    s"/tmp/graft-store/bandstore_pid${ProcessHandle.current().pid()}_${tag}_$sess"
   }
 
   private def nearDupPairs(docs: DataFrame): DataFrame = {
@@ -56,7 +62,7 @@ object DataOpsQueries {
       .select("id_a", "id_b")
     val sh = Dedup.simhashCandidates(docs, "text", "doc_id",
         maxHamming = 6, numBands = 8, bits = 60,
-        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+        tokenHash = md5TokenHash)
       .select("id_a", "id_b")
     mh.unionByName(sh)
   }
@@ -87,7 +93,7 @@ object DataOpsQueries {
     "d3_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(Fixture.documents(s, dir), "text", "doc_id",
         maxHamming = 6, numBands = 8, bits = 60,
-        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))),
+        tokenHash = md5TokenHash)),
 
     // Exact n-gram (token) Jaccard on deterministic consecutive pairs —
     // integer numerator/denominator so the oracle hashes identically.

@@ -180,17 +180,37 @@ object CuckooSeen {
         spark.sparkContext.broadcast(new graft.functions.CuckooShardMap(
           shardsCached(corpusTag, seen, numBuckets, salt, expectedPerShard))))
 
+  /** The corpusTag segment of a broadcast-cache key
+    * (`appId#corpusTag#numBuckets#salt`): strip the #-free appId prefix
+    * and the two #-free numeric suffixes — exact even when the tag itself
+    * contains '#'. A substring `contains("#tag#")` test would let a tag
+    * like "8" match ANOTHER tag's `…#8#…` numBuckets segment and evict a
+    * live broadcast that the memo exists to keep. */
+  private def broadcastKeyTag(key: String): String = {
+    val afterApp = key.substring(key.indexOf('#') + 1)
+    val beforeSalt = afterApp.lastIndexOf('#')
+    val beforeBuckets = afterApp.lastIndexOf('#', beforeSalt - 1)
+    afterApp.substring(0, beforeBuckets)
+  }
+
   /** Drop every memoized build for `corpusTag` (any bucket count/salt) —
     * call after the corpus snapshot behind the tag changes. Also releases
     * the tag's memoized broadcasts (removeBroadcast, not destroy: an
     * in-flight job of another caller may still hold the old value; the
     * unpersist path lets executors drop the blocks safely). */
   def evictShards(corpusTag: String): Unit = {
-    builtShardCache.keySet.removeIf(_.startsWith(corpusTag + "#"))
+    // same exact-segment rule for the blob memo (`corpusTag#buckets#salt`,
+    // two #-free numeric suffixes): a bare startsWith(tag + "#") would let
+    // tag "a" evict tag "a#b"'s build when tags themselves contain '#'
+    builtShardCache.keySet.removeIf { k =>
+      val beforeSalt = k.lastIndexOf('#')
+      val beforeBuckets = k.lastIndexOf('#', beforeSalt - 1)
+      beforeBuckets >= 0 && k.substring(0, beforeBuckets) == corpusTag
+    }
     val it = shardBroadcastCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.contains(s"#$corpusTag#")) {
+      if (broadcastKeyTag(e.getKey) == corpusTag) {
         scala.util.Try(e.getValue.unpersist(blocking = false))
         it.remove()
       }

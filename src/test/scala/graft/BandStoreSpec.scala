@@ -92,6 +92,26 @@ class BandStoreSpec extends SparkSpec {
     assert(probe.collect().exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000L))
   }
 
+  test("probe degrades to an unhinted join past the broadcast cap — same pairs") {
+    val store = corpus.filter(col("id") < 1000)
+    val batch = corpus.filter(col("id") >= 1000)
+    val path = tmp("banddegrade")
+    BandStore.write(store, "id", "sig", path, numBands = 8, bits = 64, prefixBits = 4)
+    spark.conf.set("graft.band.broadcastMaxRows", "0")
+    try {
+      val probe = BandStore.probe(batch, "id", "sig", path, maxHamming = 6)
+      // no FORCED broadcast hint in the plan: a giant crawl batch must be
+      // allowed to shuffle (AQE may still CHOOSE broadcast from measured
+      // sizes — that choice is the contract; an unconditional hint that
+      // collects 800M banded rows to the driver is not)
+      val analyzed = probe.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"probe still forces a broadcast hint past the cap:\n${analyzed.take(1500)}")
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == bruteCross(store, batch, 6), "degraded join changed the pair set")
+    } finally spark.conf.unset("graft.band.broadcastMaxRows")
+  }
+
   test("write clusters rows into ~one file per task, not tasks × dirs") {
     // the corpus arrives in 4 partitions and lands in 8 bands × 4 bpfx =
     // 32 dirs; without the range clustering, every input task opens a

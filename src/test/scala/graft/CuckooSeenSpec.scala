@@ -47,6 +47,21 @@ class CuckooSeenSpec extends SparkSpec {
     assert(!(m3 eq m1), "evictShards left the stale memo in place")
   }
 
+  test("evictShards matches exact tag segments — a prefix tag cannot evict a longer tag's memo") {
+    // memo keys are `tag#buckets#salt`; a bare startsWith(tag + "#") test
+    // would let tag "x" evict tag "x#sub"'s live build (and the broadcast
+    // cache's old contains("#tag#") could match another key's NUMERIC
+    // geometry segments) — the eviction must parse segments exactly
+    val base = "spec-seg-" + System.nanoTime()
+    val tagSub = base + "#sub"
+    val mSub = CuckooSeen.shardsCached(tagSub, seen, B)
+    CuckooSeen.evictShards(base) // must NOT touch tagSub
+    assert(CuckooSeen.shardsCached(tagSub, seen.limit(0), B) eq mSub,
+      "evicting a prefix tag dropped a different tag's memo")
+    CuckooSeen.evictShards(tagSub) // exact tag still evicts
+    assert(!(CuckooSeen.shardsCached(tagSub, seen, B) eq mSub))
+  }
+
   test("gate alone passes no seen url (no false negatives) and nearly all unseen") {
     val shards = CuckooSeen.buildShards(seen, B)
     val gated = CuckooSeen.gateNotSeen(cand, shards, B)

@@ -415,6 +415,22 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), "line argmin must hash-aggregate")
   }
 
+  test("line dedup: null lines keep (never a duplicate of anything) and are never dropped") {
+    import spark.implicits._
+    // md5(NULL) = NULL and SQL's null ≠ null — an inner hash join would
+    // silently drop these rows; the contract is input rows + a verdict
+    val lines = Seq(
+      (1L, 0L, "a"), (1L, 1L, null.asInstanceOf[String]),
+      (2L, 0L, "a"), (2L, 1L, null.asInstanceOf[String])
+    ).toDF("doc_id", "line_no", "line")
+    val v = Dedup.lineVerdicts(lines, "doc_id", "line_no", "line")
+    assert(v.count() == 4, "a null line made its row vanish")
+    val byRow = v.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("line_no")) -> r.getAs[Boolean]("keep")).toMap
+    assert(byRow((1L, 1L)) && byRow((2L, 1L)), "null lines must keep")
+    assert(byRow((1L, 0L)) && !byRow((2L, 0L)), "'a' dedup must still fire")
+  }
+
   test("line dedup: tie order is line_no within the same doc") {
     import spark.implicits._
     // same line twice in ONE doc: the smaller line_no wins
