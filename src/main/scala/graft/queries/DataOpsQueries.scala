@@ -682,6 +682,26 @@ object DataOpsQueries {
           g.sniffFormat(col("thumb")).as("thumb_fmt"))
     }),
 
+    // Interval join — click-through attribution (clicks joined to the
+    // same user's views from the preceding 4 h), the batch twin of the
+    // STREAM-STREAM watermarked join (Streaming.clickAttribution, where
+    // the time-range condition is what lets the state store evict old
+    // rows; stream ≡ batch in StreamingSpec). Gap arithmetic in exact
+    // integer microseconds, both bounds inclusive.
+    "st4_interval_join" -> ((s, dir) => {
+      val e = Fixture.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").cast("timestamp").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").cast("timestamp").as("click_ts"))
+      v.join(c, Seq("user_id"))
+        .withColumn("gap_us", unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+        .filter(col("gap_us") >= 0L && col("gap_us") <= 240L * 60000000L)
+        .select(col("user_id"), col("view_id"), col("click_id"), col("gap_us"))
+    }),
+
     // Event-time hourly windowed aggregation — the BATCH twin of the
     // Structured Streaming query (StreamingSpec proves stream==batch);
     // window() start aligns to the epoch hour = date_trunc.
@@ -1177,6 +1197,18 @@ object DataOpsQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical inclusive bounds in exact integer microseconds
+    "st4_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) >= 0
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000""".stripMargin,
 
     // the native session window's STRICT split rule (>= gap starts a new
     // session; end = last event + gap) as window arithmetic; ts-ties land

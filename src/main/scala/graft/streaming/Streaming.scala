@@ -55,6 +55,34 @@ object Streaming {
         col("w.end").cast("timestamp_ntz").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join with watermarked state — click-through
+    * attribution (each click joined to the same user's views from the
+    * preceding `windowMinutes`): the Structured Streaming shape where
+    * BOTH sides buffer in the state store and the time-range condition +
+    * watermarks bound that state — a view older than the window plus the
+    * watermark delay can never match a future click, so the store evicts
+    * it (without the range condition, stream-stream join state grows
+    * unboundedly at 10^10 events). Inner-join matches emit as they
+    * arrive; the watermark governs EVICTION, not emission. Batch twin:
+    * `st4_interval_join`; stream ≡ batch asserted in StreamingSpec. */
+  def clickAttribution(spark: SparkSession, eventsPath: String,
+      schema: StructType, windowMinutes: Int = 240): DataFrame = {
+    def side(kind: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(eventsPath)
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").cast("timestamp").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val views = side("view", "view_id", "v_user", "view_ts")
+    val clicks = side("click", "click_id", "c_user", "click_ts")
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** Per-host crawl-state row for the stateful politeness limiter. */
   final case class HostState(granted: Long, deferred: Long)
   final case class GrantDecision(host: String, canonical_url: String,

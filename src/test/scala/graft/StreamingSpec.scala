@@ -117,6 +117,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream sessions != batch: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
   }
 
+  test("stream-stream interval join (click attribution) ≡ batch st4; inner matches emit without watermark closure") {
+    val srcDir = Files.createTempDirectory("attr-src").toString
+    val ckpt = Files.createTempDirectory("attr-ckpt").toString
+    val outDir = Files.createTempDirectory("attr-out").toString + "/o"
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    val q = Streaming.clickAttribution(spark, srcDir, schema)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "view_id", "click_id", "gap_us")
+      .collect().map(key).toSet
+    val batch = SparkEntry.queries("st4_interval_join")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "view_id", "click_id", "gap_us")
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "fixture lost its planted view→click pairs")
+    // INNER join matches emit as both sides arrive — no closer row needed
+    // (the watermark bounds state EVICTION, not emission)
+    assert(got == batch, s"stream != batch: missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("stateful host limiter grants budget per micro-batch, state persists across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
