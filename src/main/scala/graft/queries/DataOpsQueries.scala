@@ -709,7 +709,90 @@ object DataOpsQueries {
       Fixture.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), decSum(col("value"), "sum_value"))
-        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value")))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))),
+
+    // As-of join — every click matched to the SAME user's latest view
+    // at-or-before it ("what was on screen when they clicked"), clicks
+    // with no preceding view kept with null payload. st4 keeps EVERY view
+    // in a window (interval join); as-of keeps exactly the newest one —
+    // the "latest state visible at time t" lookup (the crawler's
+    // latest-cached-release-before-each-step read, main.py:61-74, as a
+    // bulk operator). Union + fill-down window: ONE shuffle, NO join node
+    // (AsOfRangeSpec locks that); the oracle is DuckDB's native ASOF LEFT
+    // JOIN — two independent engines, two unrelated algorithms.
+    "st5_asof_join" -> ((s, dir) => {
+      val e = Fixture.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").cast("timestamp").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").cast("timestamp").as("click_ts"))
+      graft.ops.AsOfJoin
+        .backward(c, v, "user_id", "click_ts", "view_ts", Seq("view_id", "view_ts"))
+        .withColumn("gap_us",
+          unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+        .select(col("user_id"), col("click_id"), col("view_id"), col("gap_us"))
+    }),
+
+    // Range join — point-in-interval lookup with NO equi key (the IP-to-
+    // range / offset-to-segment shape): ranges planted on part (stride
+    // 100, width p_partkey % 97 → non-overlapping, ~half the domain
+    // covered), points pseudo-randomly scattered from lineitem in pure
+    // integer arithmetic. RangeJoin.binned replicates each range to the
+    // 64-wide bins it overlaps and hash-joins on the bin — the plan has
+    // NO nested loop (AsOfRangeSpec locks it); the oracle runs the naive
+    // BETWEEN join the operator exists to avoid.
+    "c29_range_lookup" -> ((s, dir) => {
+      val part = Fixture.part(s, dir)
+      val nPart = part.count()
+      val ranges = part.select(col("p_partkey").as("range_id"),
+        (col("p_partkey") * 100L).as("lo"),
+        (col("p_partkey") * 100L + col("p_partkey") % 97L).as("hi"))
+      val points = Fixture.lineitem(s, dir).select(
+        (col("l_orderkey") * 7L + col("l_linenumber")).as("point_id"),
+        ((col("l_orderkey") * 1000003L + col("l_linenumber") * 7919L)
+          % lit(nPart * 100L)).as("v"))
+      graft.ops.RangeJoin.binned(points, "v", ranges, "lo", "hi", 64L)
+        .select(col("point_id"), col("v"), col("range_id"))
+    }),
+
+    // Tokenizer training step 2 (after v1's vocabulary): one BPE merge
+    // iteration — adjacent symbol-pair counts over the word-frequency
+    // table, global top-30 by the same bounded aggregator (no full-corpus
+    // sort). Two map-side-combined shuffles, both vocab-bounded: corpus
+    // tokens collapse to (word, freq) first, so pair extraction runs once
+    // per DISTINCT word, not once per corpus occurrence — at 100 TB the
+    // word table is millions of rows while the corpus is trillions.
+    "v2_bpe_pairs" -> ((s, dir) => {
+      val words = Fixture.documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val pairs = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .withColumn("corpus", lit("all"))
+      graft.ops.Sampling.topKWeighted(pairs, "corpus", "pair", "cnt", k = 30)
+    }),
+
+    // ORC sink + source round-trip (the third columnar format next to
+    // parquet and the jsonl/csv exports): write a lineitem projection as
+    // ORC, read it back, aggregate — green proves values and types
+    // survive the format. Column pruning reaches the ORC scan the same
+    // way it does parquet (vectorized reader).
+    "c30_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-orc-${math.abs(dir.hashCode)}"
+      Fixture.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), "sum_qty"),
+          sum(col("l_partkey")).as("sum_partkey"))
+    })
   )
 
   /** Brute-force quantized top-10 cosine — shared by d6 (which computes it
@@ -1248,7 +1331,63 @@ object DataOpsQueries {
         |  CAST((CASE (src + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
         |        ELSE 64 END) // 2 AS INTEGER) AS thumb_h,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS thumb_fmt
-        |FROM meta""".stripMargin
+        |FROM meta""".stripMargin,
+
+    // DuckDB's NATIVE ASOF LEFT JOIN vs the Spark union+fill-down window —
+    // independent algorithms, same inclusive-bound backward semantics
+    "st5_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, v.view_id,
+        |  CAST(epoch_us(c.click_ts) - epoch_us(v.view_ts) AS BIGINT) AS gap_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.click_ts >= v.view_ts""".stripMargin,
+
+    // the naive BETWEEN join the binned operator replaces
+    "c29_range_lookup" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS range_id,
+        |    p_partkey * 100 AS lo,
+        |    p_partkey * 100 + p_partkey % 97 AS hi
+        |  FROM part),
+        |p AS (
+        |  SELECT l_orderkey * 7 + l_linenumber AS point_id,
+        |    (l_orderkey * 1000003 + l_linenumber * 7919)
+        |      % ((SELECT count(*) FROM part) * 100) AS v
+        |  FROM lineitem)
+        |SELECT CAST(point_id AS BIGINT) AS point_id, CAST(v AS BIGINT) AS v,
+        |  CAST(range_id AS BIGINT) AS range_id
+        |FROM p JOIN r ON v BETWEEN lo AND hi""".stripMargin,
+
+    // adjacent-pair counts over the word-frequency table; range(1, len)
+    // enumerates pair start offsets 1..len-1 exactly like Spark's
+    // sequence(1, length-1)
+    "v2_bpe_pairs" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS freq FROM w0 WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(freq) AS cnt
+        |  FROM wc, unnest(range(1, len(w))) AS t(i)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT 'all' AS corpus, pair, CAST(cnt AS BIGINT) AS cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+        |  FROM p)
+        |SELECT corpus, pair, cnt, rk FROM r WHERE rk <= 30""".stripMargin,
+
+    // same aggregate straight off parquet — green means the ORC round
+    // trip changed nothing
+    "c30_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }
 
