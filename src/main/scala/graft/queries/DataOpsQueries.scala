@@ -778,6 +778,31 @@ object DataOpsQueries {
       graft.ops.Sampling.topKWeighted(pairs, "corpus", "pair", "cnt", k = 30)
     }),
 
+    // Linear model scoring — the fastText-style quality-classifier pass
+    // every production corpus runs after the heuristic filters (t2):
+    // tokens hash into a fixed feature space (the 60-bit cross-engine
+    // md5 hash mod 1024 buckets), a weight TABLE joins in — explicitly
+    // broadcast, the model-distribution shape: weights are MBs even for
+    // 10^6-bucket models while the token stream is the corpus — and the
+    // per-doc score is one map-side-combined sum. The planted weights are
+    // a deterministic integer function of the bucket so the oracle can
+    // rebuild them; a real model swaps the derivation for a learned
+    // parquet, the plan is identical.
+    "t8_model_score" -> ((s, dir) => {
+      val nBuckets = 1024
+      val weights = s.range(0, nBuckets).select(col("id").as("bucket"),
+        (pmod(col("id") * 2654435761L, lit(13)) - 6).as("wt"))
+      Fixture.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"),
+          pmod(graft.ops.CrossHash.md5Hash60(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+        .join(broadcast(weights), Seq("bucket"))
+        .groupBy(col("doc_id")).agg(sum(col("wt")).as("score"))
+        .withColumn("label", (col("score") > 0).cast("int"))
+    }),
+
     // ORC sink + source round-trip (the third columnar format next to
     // parquet and the jsonl/csv exports): write a lineitem projection as
     // ORC, read it back, aggregate — green proves values and types
@@ -1380,6 +1405,23 @@ object DataOpsQueries {
         |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk
         |  FROM p)
         |SELECT corpus, pair, cnt, rk FROM r WHERE rk <= 30""".stripMargin,
+
+    // same hashed-feature model rebuilt from the bucket derivation
+    "t8_model_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM t WHERE tok <> ''),
+        |w AS (
+        |  SELECT i AS bucket, (i * 2654435761) % 13 - 6 AS wt
+        |  FROM range(0, 1024) r(i))
+        |SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score,
+        |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS label
+        |FROM h JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
 
     // same aggregate straight off parquet — green means the ORC round
     // trip changed nothing

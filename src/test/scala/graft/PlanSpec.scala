@@ -127,4 +127,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("CoGroup"), s"probe must be a cogroup:\n$plan")
     assert(!plan.contains("Join"), s"no join may carry the blob into the candidate stream:\n$plan")
   }
+
+  test("model scoring broadcasts the weight table; score agg is map-side partial") {
+    // the corpus-sized token stream must NEVER shuffle to meet the
+    // MB-sized model: a shuffled join here moves the whole corpus once
+    // more at 100 TB. Weights broadcast; the only exchange is the
+    // per-doc sum's (with partial_sum before it).
+    val df = SparkEntry.queries("t8_model_score")(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+    assert(countShuffles(executedPlan(df)) <= 1, s"token stream shuffled more than the agg:\n$plan")
+  }
 }
