@@ -778,6 +778,34 @@ object DataOpsQueries {
       graft.ops.Sampling.topKWeighted(pairs, "corpus", "pair", "cnt", k = 30)
     }),
 
+    // K-means assignment — the Lloyd step inside Similarity.train (the
+    // IVF trainer), exposed in exact integer arithmetic so both engines
+    // compute THE SAME argmin: centroids are the first 16 quantized
+    // vectors (deterministic seeding, as the trainer does), squared-L2
+    // distances are integer sums over the ×1000-quantized components,
+    // ties break to the smaller cluster id. The 16-row centroid table
+    // collects to the driver and rides into the plan as literals (the
+    // kernel shape Similarity.assign uses) — the corpus makes ONE pass +
+    // one map-side-combined groupBy; no join, no shuffle of vectors.
+    "i1_kmeans_assign" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), quantized(col("embedding")).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+      val q = quantized(col("embedding"))
+      val scored = cents.map { case (cid, cv) =>
+        struct(
+          aggregate(zip_with(q, typedlit(cv), (x, c) => (x - c) * (x - c)),
+            lit(0L), (a, b) => a + b).as("d"),
+          lit(cid).as("cid"))
+      }
+      emb.select(col("vec_id"),
+          least(scored: _*).getField("cid").as("cluster"),
+          element_at(q, 1).as("q0"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("q0")).as("sum_q0"))
+    }),
+
     // Linear model scoring — the fastText-style quality-classifier pass
     // every production corpus runs after the heuristic filters (t2):
     // tokens hash into a fixed feature space (the 60-bit cross-engine
@@ -1405,6 +1433,30 @@ object DataOpsQueries {
         |    row_number() OVER (ORDER BY cnt DESC, pair) AS rk
         |  FROM p)
         |SELECT corpus, pair, cnt, rk FROM r WHERE rk <= 30""".stripMargin,
+
+    // brute-force argmin over the same quantized integers: d² expands to
+    // dot(x,x) − 2·dot(x,c) + dot(c,c) (exact in doubles — quantized
+    // components ≤ ~2·10³, dots ≤ ~10⁹ ≪ 2⁵³); tie order (dist, cid)
+    // mirrors the struct-least
+    "i1_kmeans_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e WHERE vec_id < 16),
+        |d AS (
+        |  SELECT e.vec_id, c.cid, e.qv[1] AS q0,
+        |    list_dot_product(CAST(e.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[]))
+        |      - 2 * list_dot_product(CAST(e.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+        |      + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid, q0,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        |  FROM d)
+        |SELECT cid AS cluster, count(*) AS n, CAST(sum(q0) AS BIGINT) AS sum_q0
+        |FROM a WHERE rk = 1 GROUP BY cid""".stripMargin,
 
     // same hashed-feature model rebuilt from the bucket derivation
     "t8_model_score" ->
