@@ -569,6 +569,66 @@ object Dedup {
     }
   }
 
+  /** Deletion-aware component maintenance — the right-to-be-forgotten
+    * leg that [[updateComponents]] cannot cover: removing a node can
+    * SPLIT its component (the deleted doc may be the only bridge), so
+    * the stored star edges are NOT a safe substitute for the truth.
+    * Touched components — those holding a deleted member — re-close
+    * from their SURVIVING true pairs; every other label row passes
+    * through untouched. Cost is O(touched members + their pairs), not
+    * O(corpus): at 10^10 labels a takedown batch touches a vanishing
+    * fraction of components, and both the semi and anti side of the
+    * pass-through ride one eagerly-materialized rep set (same contract
+    * as [[updateComponents]]' split shape — a lazy rep set would
+    * re-derive the deletion batch at every downstream action).
+    *
+    * `pairs` is the VERIFIED pair set (the band store's accumulated
+    * truth, id_a/id_b); it is consumed entirely during this call (the
+    * re-closure is eager), so callers may release a persisted pair
+    * derivation at return. Touched members that lose every pair come
+    * back as singleton self-reps — they are still corpus members,
+    * only no longer duplicates of anything.
+    *
+    * Mirrors `CuckooSeen.forget`'s rebuild-owning-shards-from-truth
+    * design (reference semantics: a removed record must not leave
+    * phantom links, `/root/reference` has no incremental path at all —
+    * it reprocesses the dump). */
+  def forgetComponents(
+      labels: DataFrame, // (doc_id, component_rep) — stored labelling
+      pairs: DataFrame, // (id_a, id_b) — verified pair truth
+      deleted: DataFrame, // (doc_id) — ids to forget
+      maxIter: Int = 50): DataFrame = {
+    val spark = labels.sparkSession
+    val del = deleted.select(col("doc_id")).distinct()
+    val touchedRepsLazy = labels.join(del, Seq("doc_id"), "left_semi")
+      .select(col("component_rep")).distinct()
+    val touchedReps =
+      if (spark.sparkContext.getCheckpointDir.isDefined) touchedRepsLazy.checkpoint()
+      else touchedRepsLazy.localCheckpoint()
+    val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
+      .select(col("doc_id"), col("component_rep"))
+    // surviving members of touched components; eager for the same reason
+    // as the rep set — referenced by BOTH the re-closure's edge filter
+    // and the singleton anti join below
+    val membersLazy = labels.join(touchedReps, Seq("component_rep"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val members =
+      if (spark.sparkContext.getCheckpointDir.isDefined) membersLazy.checkpoint()
+      else membersLazy.localCheckpoint()
+    // true pairs with BOTH endpoints surviving inside a touched component
+    // (a pair between two untouched components has no member endpoint and
+    // drops here — its labels already passed through)
+    val survivingPairs = pairs
+      .join(members.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(members.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val reclosed = connectedComponents(survivingPairs, maxIter)
+    val singletons = members.join(reclosed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component_rep"))
+    reclosed.unionByName(untouched).unionByName(singletons)
+  }
+
   /** One survivor per duplicate cluster: collapse `docs` by the connected
     * components of `pairs`, keeping the min-id row of each component (and
     * every row that appears in no pair). The anti-join's right side is the

@@ -179,6 +179,26 @@ object DataOpsQueries {
           "\n").cast("binary")).as("new_md5"))
     }),
 
+    // Right-to-be-forgotten over the duplicate labelling: delete every
+    // doc_id ≡ 3 (mod 17) from the stored component labels and re-close
+    // ONLY the touched components from their surviving verified pairs —
+    // a deletion can SPLIT a component (the deleted doc may be its only
+    // bridge), which merge-only d13 maintenance cannot express. The
+    // oracle recomputes components from scratch over the pair graph with
+    // deleted endpoints removed, seeded from every surviving labelled
+    // node (so bridge-loss splits and edge-less singletons both count).
+    "d15_cc_forget" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val pairs = nearDupPairs(docs)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val labels = Dedup.connectedComponents(pairs)
+        val deleted = docs.filter(col("doc_id") % 17 === 3).select("doc_id")
+        Dedup.forgetComponents(labels, pairs, deleted)
+      } finally { pairs.unpersist(); () }
+    }),
+
     // End-to-end corpus-build composition — the query a training-data user
     // actually runs, all within ONE lazy plan chain (no driver round-trip
     // between stages): exact dedup survivors → near-dup collapse (connected
@@ -966,6 +986,32 @@ object DataOpsQueries {
     "d13_cc_update" ->
       s"""WITH RECURSIVE
          |${componentsSqlFor("documents")}
+         |SELECT doc_id, component_rep FROM comp""".stripMargin,
+
+    // deletion ≡ from-scratch: components over the pair graph with every
+    // deleted endpoint removed, seeded from ALL surviving labelled nodes —
+    // a node whose last pair died must come back as its own singleton rep,
+    // and a component whose bridge was deleted must split
+    "d15_cc_forget" ->
+      s"""WITH RECURSIVE
+         |mh AS (${mhPairsSqlFor("documents")}),
+         |sh AS (${SimhashOracle.sqlFor("documents")}),
+         |edges0 AS (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM sh),
+         |delset AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+         |nodes AS (
+         |  SELECT DISTINCT u FROM (
+         |    SELECT id_a AS u FROM edges0 UNION SELECT id_b AS u FROM edges0) n
+         |  WHERE u NOT IN (SELECT doc_id FROM delset)),
+         |e0 AS (SELECT id_a, id_b FROM edges0
+         |       WHERE id_a NOT IN (SELECT doc_id FROM delset)
+         |         AND id_b NOT IN (SELECT doc_id FROM delset)),
+         |e AS (SELECT id_a AS u, id_b AS v FROM e0
+         |      UNION SELECT id_b AS u, id_a AS v FROM e0),
+         |reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component_rep FROM reach GROUP BY u)
          |SELECT doc_id, component_rep FROM comp""".stripMargin,
 
     // the lines CTE is Fixture.docLines verbatim; keeper = the globally

@@ -380,6 +380,59 @@ class OpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("forgetComponents: deleting a bridge splits; leaves collapse; untouched pass through") {
+    import spark.implicits._
+    // chain 1-2-3-4 (rep 1) plus {10,11} (rep 10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    def forget(del: Seq[Long]) =
+      Dedup.forgetComponents(labels, pairs, del.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // delete the bridge 2: 1 loses every pair (singleton), {3,4} re-roots at 3
+    assert(forget(Seq(2L)) ==
+      Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+    // delete the old rep 1 and the leaf 4: {2,3} re-roots at 2
+    assert(forget(Seq(1L, 4L)) ==
+      Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    // deleting an id the labelling never held is a no-op
+    assert(forget(Seq(99L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // deleting everything empties the labelling
+    assert(forget(Seq(1L, 2L, 3L, 4L, 10L, 11L)).isEmpty)
+  }
+
+  test("scalacheck: random deletions — forgetComponents ≡ from-scratch closure over survivors") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genEdges = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val genDel = Gen.listOfN(6, Gen.choose(0L, 30L))
+    val prop = Prop.forAll(genEdges, genDel) { (edges: List[(Long, Long)], delL: List[Long]) =>
+      val real = edges.filter { case (a, b) => a != b }
+      val del = delL.toSet
+      // min-rooted union-find over the SURVIVING edge subset
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.filterNot { case (a, b) => del(a) || del(b) }.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // survivors = every ORIGINALLY LABELLED node (any edge endpoint)
+      // minus the deleted set — edge-less leftovers become singletons
+      val want = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .filterNot(del).map(n => n -> find(n)).toMap
+      val pairsDf = real.toDF("id_a", "id_b")
+      val got = Dedup.forgetComponents(
+          Dedup.connectedComponents(pairsDf), pairsDf, del.toSeq.toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cross-modal dedup: a pixel pair and a caption pair chain into ONE cluster") {
     // the d12 semantics in miniature: A~B near-identical pixels (phash),
     // B~C identical captions — {A,B,C} must collapse to min-id survivor A
