@@ -126,6 +126,54 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Asymmetric shingle-CONTAINMENT detection — the quote/boilerplate leg
+    * that symmetric resemblance misses: a short doc pasted inside a long
+    * one has low Jaccard (the union grows with the long side) but
+    * containment |A∩B|/|A| ≈ 1. The C4/RefinedWeb-style "is this page
+    * mostly a quote of another page" pass.
+    *
+    * Plan shape: distinct shingles explode to (id, xxhash64(shingle)) —
+    * 8-byte hashes travel through the shuffle, never shingle strings —
+    * then a document-frequency cap drops shingles appearing in > maxDf
+    * docs (each would contribute df² pair rows; web boilerplate is
+    * exactly this mass). The hot list is O(total shingle rows / maxDf)
+    * and anti-joins in (AQE broadcasts it while it fits); the surviving
+    * self-join shuffles ONCE on the hash and the per-pair count
+    * aggregates with map-side partials. Denominators are the PRE-cap
+    * distinct-shingle counts, so capping only under-counts numerators —
+    * conservative, never a false positive. Verdicts compare
+    * cross-multiplied integers (shared·den ≥ num·|side|): engine-exact,
+    * no float boundary, which is how the d16 oracle compares. A hash
+    * collision could overcount `shared` by 1; at 2⁻⁶⁴ per shingle pair
+    * that is the same accepted risk as every xxhash64 key in the engine.
+    *
+    * Emits unordered pairs (id_a < id_b) with both direction verdicts
+    * (`a_in_b`: A is ≥ num/den contained in B; `b_in_a` likewise); only
+    * pairs where at least one holds survive. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, maxDf: Int = 100,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val kept = sh.join(hot, Seq("h"), "left_anti")
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+      .withColumn("a_in_b",
+        col("shared") * thresholdDen >= lit(thresholdNum) * col("n_a"))
+      .withColumn("b_in_a",
+        col("shared") * thresholdDen >= lit(thresholdNum) * col("n_b"))
+      .filter(col("a_in_b") || col("b_in_a"))
+  }
+
   /** SimHash-64 of the token multiset: per bit b, sum ±1 weighted by token
     * hash bit, sign → bit. Expressed with built-ins only: for each bit, sum
     * over tokens of (2*bit(h)-1), then pack via bitwise ops in a reduce. */

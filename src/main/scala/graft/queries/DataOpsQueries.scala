@@ -199,6 +199,24 @@ object DataOpsQueries {
       } finally { pairs.unpersist(); () }
     }),
 
+    // Asymmetric containment — the quote/boilerplate leg the symmetric
+    // d2/d4 resemblance pass misses: every 20th doc gets a planted
+    // "quote" twin holding its first half (prefix tokens → the quote's
+    // shingles are a strict subset of the source's, so containment is
+    // 1.0 while Jaccard is only ~0.5 and LSH never fires). Oracle is the
+    // brute-force shingle intersection with the SAME df cap and the SAME
+    // cross-multiplied integer thresholds.
+    "d16_containment" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("doc_id"), col("text"))
+      val withN = d.crossJoin(broadcast(d.agg((max("doc_id") + 1).as("__n"))))
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val quotes = withN.filter(col("doc_id") % 20 === 11)
+        .select((col("doc_id") + col("__n")).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), (size(toks) / 2).cast("int"))).as("text"))
+      Dedup.containmentPairs(d.unionByName(quotes), "text", "doc_id",
+        k = 3, maxDf = 100, thresholdNum = 4, thresholdDen = 5)
+    }),
+
     // End-to-end corpus-build composition — the query a training-data user
     // actually runs, all within ONE lazy plan chain (no driver round-trip
     // between stages): exact dedup survivors → near-dup collapse (connected
@@ -731,6 +749,23 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("n"), decSum(col("value"), "sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))),
 
+    // Redelivery-safe metrics — st1's aggregation behind an event-id
+    // dedup gate: the events table is unioned with an exact re-delivery
+    // of every event_id ≡ 5 (mod 13) row (the at-least-once retry shape)
+    // and dropDuplicates must make the inflation invisible. Streaming
+    // twin: Streaming.dedupedEventCounts (dropDuplicatesWithinWatermark —
+    // dedup state EVICTED at the watermark, the 10^10-events posture);
+    // stream ≡ batch in StreamingSpec.
+    "st6_stream_dedup" -> ((s, dir) => {
+      val e = Fixture.events(s, dir)
+      e.unionByName(e.filter(col("event_id") % 13 === 5))
+        .dropDuplicates("event_id")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), "sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+    }),
+
     // As-of join — every click matched to the SAME user's latest view
     // at-or-before it ("what was on screen when they clicked"), clicks
     // with no preceding view kept with null payload. st4 keeps EVERY view
@@ -1013,6 +1048,39 @@ object DataOpsQueries {
          |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
          |comp AS (SELECT u AS doc_id, min(v) AS component_rep FROM reach GROUP BY u)
          |SELECT doc_id, component_rep FROM comp""".stripMargin,
+
+    // brute-force shingle intersection over the doc+quote corpus with the
+    // SAME df cap and cross-multiplied 4/5 thresholds; quotes keep the
+    // sliced token list directly (rejoin+resplit on the Spark side is
+    // token-identical — vocab tokens contain no whitespace)
+    "d16_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |quotes AS (
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    toks[1 : len(toks) // 2] AS toks
+        |  FROM base WHERE doc_id % 20 = 11),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL SELECT doc_id, toks FROM quotes),
+        |t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+        |  FROM corpus),
+        |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS s FROM t),
+        |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 100),
+        |kept AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared,
+        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, n_a, n_b,
+        |  shared * 5 >= 4 * n_a AS a_in_b,
+        |  shared * 5 >= 4 * n_b AS b_in_a
+        |FROM p WHERE shared * 5 >= 4 * n_a OR shared * 5 >= 4 * n_b""".stripMargin,
 
     // the lines CTE is Fixture.docLines verbatim; keeper = the globally
     // smallest packed (doc_id, line_no) per distinct line, exactly
@@ -1379,6 +1447,18 @@ object DataOpsQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the redelivered rows are EXACT copies, so DISTINCT * is the dedup;
+    // green = the planted double-delivery left no trace in the metrics
+    "st6_stream_dedup" ->
+      """WITH redelivered AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 13 = 5),
+        |deduped AS (SELECT DISTINCT * FROM redelivered)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM deduped GROUP BY 1, 2""".stripMargin,
 
     // identical inclusive bounds in exact integer microseconds
     "st4_interval_join" ->

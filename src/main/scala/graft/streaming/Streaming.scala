@@ -35,6 +35,38 @@ object Streaming {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermark-bounded streaming dedup — the at-least-once redelivery
+    * gate (an upstream fetcher/queue that retries delivers some events
+    * twice; exactly-once analytics must drop the copies). Spark's
+    * `dropDuplicatesWithinWatermark` keys state by event_id and evicts an
+    * id once the watermark passes its event time + delay, so state is
+    * O(ids inside the delay window), not O(all ids ever) — the only
+    * dedup shape that survives 10^10 events. The contract is airtight
+    * within the delay: a redelivery inside it hits live state and is
+    * suppressed; a redelivery OLDER than the watermark arrives late and
+    * is dropped by the watermark itself — there is no gap where a
+    * duplicate slips through, the delay only bounds how much state the
+    * guarantee costs. Batch twin: st6 (plain dropDuplicates); stream ≡
+    * batch asserted in StreamingSpec. */
+  def dedupedEvents(spark: SparkSession, eventsPath: String,
+      schema: StructType, delay: String = "2 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** [[dedupedEvents]] composed with st1's windowed aggregation — the
+    * full redelivery-safe metrics pipeline (dedup state AND agg state
+    * both watermark-bounded). */
+  def dedupedEventCounts(spark: SparkSession, eventsPath: String,
+      schema: StructType, delay: String = "2 hours"): DataFrame =
+    dedupedEvents(spark, eventsPath, schema, delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Session-window aggregation with watermark — Catalyst's NATIVE
     * merging-sessions operator (no hand-rolled state): in streaming it is
     * state-store-backed and a session finalizes exactly when the

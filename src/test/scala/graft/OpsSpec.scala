@@ -433,6 +433,36 @@ class OpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("containmentPairs: a prefix quote is contained (asymmetric) while Jaccard misses it") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ") // 38 shingles
+    val quote = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles, all ⊂ big's
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val got = Dedup.containmentPairs(
+        Seq((1L, big), (2L, quote), (3L, other)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSeq
+    // shared 18 of quote's 18 → b_in_a; 18/38 Jaccard ≈ 0.47 would never
+    // pass the symmetric 0.8 pass, and big is NOT contained in quote
+    assert(got == Seq((1L, 2L, 18L, 38L, 18L, false, true)))
+  }
+
+  test("containmentPairs: the df cap silences boilerplate shingles") {
+    import spark.implicits._
+    // 150 docs share a 6-token banner + one unique token: 4 of each doc's
+    // 5 shingles are corpus-wide boilerplate (df 150)
+    val docs = (1 to 150)
+      .map(i => (i.toLong, s"cookie banner accept all manage preferences u$i"))
+      .toDF("doc_id", "text")
+    // capped (df 150 > 100): the banner shingles never reach the join
+    assert(Dedup.containmentPairs(docs, "text", "doc_id").count() == 0)
+    // raising the cap past the banner df brings the quadratic pairing
+    // back (shared 4 of 5 = exactly the 4/5 threshold, both directions)
+    assert(Dedup.containmentPairs(docs, "text", "doc_id", maxDf = 200).count()
+      == 150L * 149 / 2)
+  }
+
   test("cross-modal dedup: a pixel pair and a caption pair chain into ONE cluster") {
     // the d12 semantics in miniature: A~B near-identical pixels (phash),
     // B~C identical captions — {A,B,C} must collapse to min-id survivor A

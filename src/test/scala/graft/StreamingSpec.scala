@@ -78,6 +78,69 @@ class StreamingSpec extends SparkSpec {
     assert(batchH0.getLong(0) == 2 && batchH0.getDouble(1) == 101.0)
   }
 
+  test("watermarked stream dedup: cross-batch redelivery leaves no trace ≡ batch st6") {
+    val srcDir = Files.createTempDirectory("dedup-src").toString
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch1.parquet"))
+    val schema = spark.read.parquet(srcDir).schema
+    // delay far above the fixture's time span: nothing is ever late, so
+    // every redelivery hits LIVE dedup state — the pure-dedup leg
+    val stream = Streaming.dedupedEventCounts(spark, srcDir, schema, delay = "3650 days")
+    val qname = "st6mem"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    // batch 2 = the SAME redelivery the batch twin plants (id % 13 == 5),
+    // arriving in a LATER micro-batch — state must remember across batches
+    val dups = spark.read.parquet(s"$srcDir/batch1.parquet")
+      .filter(col("event_id") % 13 === 5)
+    val tmp = Files.createTempDirectory("dedup-stage").toString + "/d"
+    dups.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$srcDir/batch2.parquet"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(qname)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("st6_stream_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch)
+  }
+
+  test("stream-dedup state is watermark-bounded: in-delay dup suppressed, sub-watermark replay dropped") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("dedupwm-src").toString
+    val outDir = Files.createTempDirectory("dedupwm-out").toString + "/o"
+    val ckpt = Files.createTempDirectory("dedupwm-ckpt").toString
+    def row(id: Long, h: Int, m: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00"))
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = Files.createTempDirectory("dedupwm-stage").toString + "/w"
+      rows.toDF("event_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$srcDir/$name"))
+      ()
+    }
+    stage("batch1.parquet", Seq(row(1, 0, 30), row(2, 2, 30)))
+    val schema = spark.read.parquet(srcDir).schema
+    val q = Streaming.dedupedEvents(spark, srcDir, schema, delay = "1 hour")
+      .select(col("event_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    q.processAllAvailable() // watermark advances to 02:30 − 1h = 01:30
+    // id 2 redelivered INSIDE the delay → suppressed by live state;
+    // id 4 at 00:40 is BELOW the watermark → dropped as late (its state,
+    // had it existed, would already be evicted — the two rules expire
+    // together, which is exactly why the guarantee has no gap);
+    // id 3 is new → emitted
+    stage("batch2.parquet", Seq(row(2, 2, 30), row(4, 0, 40), row(3, 3, 30)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("native session windows: streaming sessions finalize at the watermark ≡ batch st3") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("sess-src").toString
