@@ -900,6 +900,95 @@ object DataOpsQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), "sum_qty"),
           sum(col("l_partkey")).as("sum_partkey"))
+    }),
+
+    // Long-document chunking with overlap — the training-prep step that
+    // turns documents into fixed-size token windows (32 tokens, stride
+    // 16): row-local explode, shuffle-free, integer-exact. Chunk i covers
+    // tokens [i·16, min(i·16+32, n)); the count formula
+    // ceil(max(n−32,0)/16)+1 makes the last chunk end exactly at n (no
+    // empty trailing windows, full coverage). chunk_md5 pins the CONTENT,
+    // not just the arithmetic.
+    "t9_chunk" -> ((s, dir) => {
+      val (w, st) = (32L, 16L)
+      Fixture.documents(s, dir)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_no",
+          explode(sequence(lit(0L), expr(s"(greatest(n - $w, 0L) + ${st - 1}) DIV $st"))))
+        .withColumn("start", col("chunk_no") * st)
+        .withColumn("len", least(lit(w), col("n") - col("start")))
+        .select(col("doc_id"), col("chunk_no"), col("len").as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("start") + 1).cast("int"), col("len").cast("int"))
+          ).cast("binary")).as("chunk_md5"))
+    }),
+
+    // Corpus rollup over (language × size tier) with grouping sets — the
+    // analytic face §2.4 notes the reference lacks entirely: ROLLUP
+    // computes the per-(lang,tier), per-lang and grand-total rows in ONE
+    // pass over ONE shuffle (Catalyst expands the grouping sets map-side;
+    // at 10^10 docs that beats three separate aggregations by 3× the
+    // scan). grouping() flags disambiguate a rolled-up NULL from a data
+    // NULL, exactly as DuckDB's GROUPING().
+    "c31_corpus_rollup" -> ((s, dir) => {
+      val enriched = Fixture.documents(s, dir).select(
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        when(length(col("text")) < 150, "short")
+          .when(length(col("text")) < 400, "medium")
+          .otherwise("long").as("size_tier"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      enriched.rollup(col("pred_lang"), col("size_tier"))
+        .agg(grouping(col("pred_lang")).cast("long").as("g_lang"),
+          grouping(col("size_tier")).cast("long").as("g_tier"),
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .select(col("pred_lang"), col("size_tier"), col("g_lang"),
+          col("g_tier"), col("n_docs"), col("total_tokens"))
+    }),
+
+    // Token-budget shard packing — the corpus-delivery step (fixed
+    // ~2000-token output shards, docs never split): shard = exclusive
+    // prefix sum of token counts in doc_id order DIV budget, computed by
+    // the DISTRIBUTED two-pass prefix sum (Scheduler.globalPrefixSum —
+    // range partition, in-range running sums, #partitions-row offset
+    // table broadcast back). The naive `sum over (order by doc_id)`
+    // window moves the entire corpus through ONE task; this shape is the
+    // same answer bit-identically with the corpus staying spread
+    // (SchedulerSpec pins the equality).
+    "k5_shard_pack" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.sched.Scheduler
+        .globalPrefixSum(d, Seq(col("doc_id")), col("n_tokens"), "start_offset")
+        .withColumn("shard_id", expr("start_offset DIV 2000"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"))
+    }),
+
+    // Incremental shard packing — the append leg of k5 (per crawl batch:
+    // new docs pack AFTER the stored corpus, stored rows untouched): the
+    // batch's prefix sums shift by ONE scalar (the stored token total, a
+    // map-side-partial count off the stored table), so the append costs
+    // O(batch), never a corpus repack. Packing first 60% then appending
+    // the rest must equal k5's one-shot pack EXACTLY — same oracle SQL,
+    // the sixth incremental-maintenance leg (seen / ANN / band / labels /
+    // redirects / shards).
+    "k6_shard_append" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val cut = d.agg((max("doc_id") * 6 / 10).cast("long").as("__cut"))
+      val stored = graft.sched.Scheduler.globalPrefixSum(
+          d.crossJoin(broadcast(cut)).filter(col("doc_id") <= col("__cut")).drop("__cut"),
+          Seq(col("doc_id")), col("n_tokens"), "start_offset")
+      val storedTotal = stored.agg(coalesce(sum("n_tokens"), lit(0L)).as("__base"))
+      val appended = graft.sched.Scheduler.globalPrefixSum(
+          d.crossJoin(broadcast(cut)).filter(col("doc_id") > col("__cut")).drop("__cut"),
+          Seq(col("doc_id")), col("n_tokens"), "start_offset")
+        .crossJoin(broadcast(storedTotal))
+        .withColumn("start_offset", col("start_offset") + col("__base"))
+        .drop("__base")
+      stored.unionByName(appended)
+        .withColumn("shard_id", expr("start_offset DIV 2000"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"))
     })
   )
 
@@ -1607,7 +1696,56 @@ object DataOpsQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // same window/stride arithmetic (chunk i = tokens [i·16, i·16+len)),
+    // same token list, md5 over the space-rejoined chunk content
+    "t9_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, (greatest(len(toks) - 32, 0) + 15) // 16 + 1)) AS chunk_no
+        |  FROM t)
+        |SELECT doc_id, chunk_no,
+        |  least(32, n - chunk_no * 16) AS n_chunk_tokens,
+        |  md5(array_to_string(
+        |    toks[chunk_no * 16 + 1 : chunk_no * 16 + least(32, n - chunk_no * 16)],
+        |    ' ')) AS chunk_md5
+        |FROM x""".stripMargin,
+
+    "c31_corpus_rollup" -> TextOracle.corpusRollupSql,
+
+    // the single-window form the distributed two-pass prefix sum must
+    // reproduce bit-identically
+    "k5_shard_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${TextOracle.nTokensSql} AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2000 AS shard_id
+        |FROM c""".stripMargin,
+
+    // append ≡ one-shot repack: the SAME single-window pack — green
+    // proves the stored-total shift reproduces the full prefix sum
+    "k6_shard_append" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${TextOracle.nTokensSql} AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2000 AS shard_id
+        |FROM c""".stripMargin
   )
 }
 
@@ -1663,24 +1801,29 @@ object TextOracle {
     markers.map(m => occ("concat(' ', lower(text), ' ')", m)).mkString("(", " + ", ")")
   }
 
-  val langidSql: String = {
-    val langs = graft.ops.TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scores = langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(",\n  ")
-    // argmax with alphabetical-first tie-break == the Scala reduce order
-    val pred = langs.tail.foldLeft(s"struct_pack(s := score_${langs.head}, l := '${langs.head}')") {
-      (acc, l) => s"(CASE WHEN score_$l > ($acc).s THEN struct_pack(s := score_$l, l := '$l') ELSE $acc END)"
-    }
+  private val langs = graft.ops.TextAnalysis.langMarkers.keys.toSeq.sorted
+  private val scoreCols = langs.map(l => s"${scoreSql(l)} AS score_$l").mkString(",\n  ")
+  // argmax with alphabetical-first tie-break == the Scala reduce order
+  private val predLangExpr = langs.tail.foldLeft(
+      s"struct_pack(s := score_${langs.head}, l := '${langs.head}')") {
+    (acc, l) => s"(CASE WHEN score_$l > ($acc).s THEN struct_pack(s := score_$l, l := '$l') ELSE $acc END)"
+  }
+
+  val langidSql: String =
     s"""WITH scored AS (SELECT doc_id,
-       |  $scores
+       |  $scoreCols
        |FROM documents)
        |SELECT doc_id, score_en, score_de, score_es, score_fr,
-       |  ($pred).l AS pred_lang
+       |  ($predLangExpr).l AS pred_lang
        |FROM scored""".stripMargin
-  }
 
   private val normTextSql = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
   private val tokenCountSql0 =
     s"CASE WHEN length($normTextSql) = 0 THEN 0 ELSE ${occ(normTextSql, " ")} + 1 END"
+
+  /** TextAnalysis.tokenCount's DuckDB twin, for oracles that embed a
+    * per-doc token count (k5). */
+  val nTokensSql: String = tokenCountSql0
 
   def qualitySqlFor(table: String): String = {
     val toks = tokenCountSql0
@@ -1709,4 +1852,23 @@ object TextOracle {
        |  count(*) AS n_docs
        |FROM pertoks GROUP BY source""".stripMargin
   }
+
+  /** The c31 twin: ROLLUP over (pred_lang, size_tier) with GROUPING()
+    * flags — same langid argmax, same tier cut points, same token count. */
+  val corpusRollupSql: String =
+    s"""WITH scored AS (SELECT doc_id, text,
+       |  $scoreCols
+       |FROM documents),
+       |enriched AS (SELECT
+       |  ($predLangExpr).l AS pred_lang,
+       |  CASE WHEN length(text) < 150 THEN 'short'
+       |       WHEN length(text) < 400 THEN 'medium'
+       |       ELSE 'long' END AS size_tier,
+       |  $tokenCountSql0 AS n_tokens
+       |FROM scored)
+       |SELECT pred_lang, size_tier,
+       |  CAST(GROUPING(pred_lang) AS BIGINT) AS g_lang,
+       |  CAST(GROUPING(size_tier) AS BIGINT) AS g_tier,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM enriched GROUP BY ROLLUP(pred_lang, size_tier)""".stripMargin
 }

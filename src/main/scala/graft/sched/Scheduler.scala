@@ -145,6 +145,43 @@ object Scheduler {
       .drop("__pid", "__r", "__n", "__opid", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix sum over a total order — the running-
+    * offset primitive behind shard packing (k5): `outCol` = sum of
+    * `valueCol` over all rows strictly before this one in `orderCols`
+    * order. Same two-pass shape as [[globalRank]] (a single global
+    * `sum over (order by ...)` window moves every row to ONE task):
+    * range-partition on the key, running sum + partition total inside
+    * each range, prefix-sum the #partitions-row totals table, broadcast
+    * the offsets back. Bit-identical to the single-window form
+    * (SchedulerSpec) for any total `orderCols`; correctness never
+    * depends on where the range sampler put the boundaries. */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      outCol: String, parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val wRun = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(col("__pid"))
+    val inPart = ranged
+      .withColumn("__run", coalesce(sum(col("__v")).over(wRun), lit(0L)))
+      .withColumn("__tot", sum(col("__v")).over(wAll))
+      .withColumn("__r", row_number().over(wIn))
+    val wOff = Window.orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inPart.filter(col("__r") === 1)
+      .select(col("__pid").as("__opid"), col("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__opid"), col("__off"))
+    inPart
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(outCol, col("__off") + col("__run"))
+      .drop("__pid", "__v", "__run", "__tot", "__r", "__opid", "__off")
+  }
+
   /** robots.txt gate: drop urls whose path matches a disallowed prefix for
     * their host; among matching rules the LONGEST prefix wins (standard
     * robots precedence; exact-length ties resolve allow-first). `robots` is

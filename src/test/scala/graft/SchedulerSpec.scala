@@ -83,6 +83,24 @@ class SchedulerSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
   }
 
+  test("globalPrefixSum is bit-identical to the single-partition window cumsum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values include zeros and repeats; id makes the order total
+    val df = (0 until 5000).map(i => (i.toLong, (i * 31 % 97).toLong))
+      .toDF("id", "v").repartition(8)
+    val single = df.withColumn("off",
+        coalesce(sum(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Scheduler.globalPrefixSum(df, Seq(col("id")), col("v"), "off", parts = 8)
+      .select("id", "off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == single)
+    val plan = Scheduler.globalPrefixSum(df, Seq(col("id")), col("v"), "off", parts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+  }
+
   test("per-host budget dim overrides the default; banded variant agrees") {
     import spark.implicits._
     val f = (0 until 18).map { i =>
