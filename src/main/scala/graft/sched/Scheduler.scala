@@ -106,43 +106,90 @@ object Scheduler {
       .drop("budget")
   }
 
+  /** Order-respecting bucket assignment — the shared prelude of
+    * [[globalRank]] and [[globalPrefixSum]]. Emits a `__pid` column such
+    * that key order implies bucket order and equal keys share a bucket;
+    * boundaries never affect correctness (offsets come from actual
+    * per-bucket counts), only balance.
+    *
+    * Two shapes, picked by the leading key's type:
+    *  - numeric/date/timestamp leading key → buckets from an
+    *    approx-quantile sketch of THAT KEY ALONE (a column-pruned scan,
+    *    never the full row; long→double cast is monotone, so a row
+    *    lands on one side of every cut consistently). The `__pid`
+    *    column is then a plain projection, and the in-bucket window's
+    *    own hash exchange is the ONLY corpus shuffle.
+    *  - otherwise (or when the sketch shows the key is too low-
+    *    cardinality to fill half the buckets) → `repartitionByRange` on
+    *    the FULL key + `spark_partition_id`. Costs a second exchange
+    *    (range, then the window's hash on the partition id) — the
+    *    window's ClusteredDistribution(__pid) is not satisfied by
+    *    RangePartitioning(orderCols) — but handles arbitrary key types
+    *    and spreads heavy leading-key ties by the tiebreakers. */
+  private def orderBuckets(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val leadOk = df.select(orderCols.head.as("__k")).schema.head.dataType match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    }
+    val cuts: Array[Double] =
+      if (!leadOk || n <= 1) Array.empty
+      else {
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        df.select(orderCols.head.cast("double").as("__k"))
+          .stat.approxQuantile("__k", probs, 1.0 / (100.0 * n))
+          .distinct.sorted
+      }
+    if (cuts.length >= n / 2) {
+      val k = orderCols.head.cast("double")
+      // null leading key: every comparison is null → otherwise(0) →
+      // bucket 0, the front — where nulls-first ordering puts those rows
+      val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(k > lit(c), 1).otherwise(0)
+      }
+      df.withColumn("__pid", bucket)
+    } else {
+      df.repartitionByRange(n, orderCols: _*).withColumn("__pid", spark_partition_id())
+    }
+  }
+
   /** Distributed global row_number: bit-identical to
     * `row_number over (order by keys)` — which moves EVERY row to one task
     * (WindowExec single-partition warning; a serial total order no cluster
     * size can fix) — but computed scalably:
     *
-    *   1. range-partition on the full sort key (equal keys co-locate, so
-    *      partition boundaries respect the global order);
-    *   2. rank + count within each range partition;
-    *   3. global rank = prefix-sum offset of preceding partitions + local
-    *      rank. The offsets table is #partitions rows — its own window is
+    *   1. assign order-respecting buckets ([[orderBuckets]]: quantile
+    *      sketch of the leading key when numeric — one corpus shuffle
+    *      total — else range partitions on the full key);
+    *   2. rank + count within each bucket;
+    *   3. global rank = prefix-sum offset of preceding buckets + local
+    *      rank. The offsets table is #buckets rows — its own window is
     *      trivially small — and joins back via broadcast.
     *
-    * Correctness does not depend on the range boundaries AQE/sampling
-    * picks: offsets come from the actual per-partition counts. Callers
-    * must make the key total (explicit tiebreakers) exactly as they would
-    * for the single-window form. */
+    * Correctness does not depend on where the bucket boundaries land:
+    * offsets come from the actual per-bucket counts. Callers must make
+    * the key total (explicit tiebreakers) exactly as they would for the
+    * single-window form. */
   def globalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String,
       parts: Int = 0): DataFrame = {
     val n = if (parts > 0) parts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = orderBuckets(df, orderCols, n)
     val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val wAll = Window.partitionBy(col("__pid"))
-    val inPart = ranged
-      .withColumn("__r", row_number().over(wIn))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    val inPart = ranged.withColumn("__r", row_number().over(wIn))
+    // per-bucket counts via groupBy, NOT a window over the shuffled corpus:
+    // partial aggregation runs map-side, so this branch's exchange carries
+    // ≤ #maps × #buckets partial rows — never the corpus a second time
     val wOff = Window.orderBy(col("__opid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = inPart.filter(col("__r") === 1)
-      .select(col("__pid").as("__opid"), col("__n"))
+    val offsets = ranged.groupBy(col("__pid").as("__opid"))
+      .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__opid"), col("__off"))
     inPart
       .join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn(rankCol, (col("__off") + col("__r")).cast("int"))
-      .drop("__pid", "__r", "__n", "__opid", "__off")
+      .drop("__pid", "__r", "__opid", "__off")
   }
 
   /** Distributed EXCLUSIVE prefix sum over a total order — the running-
@@ -150,36 +197,34 @@ object Scheduler {
     * `valueCol` over all rows strictly before this one in `orderCols`
     * order. Same two-pass shape as [[globalRank]] (a single global
     * `sum over (order by ...)` window moves every row to ONE task):
-    * range-partition on the key, running sum + partition total inside
-    * each range, prefix-sum the #partitions-row totals table, broadcast
-    * the offsets back. Bit-identical to the single-window form
+    * assign order-respecting buckets ([[orderBuckets]] — quantile sketch
+    * of a numeric leading key makes the in-bucket window's hash exchange
+    * the only corpus shuffle), running sum + bucket total inside each
+    * bucket, prefix-sum the #buckets-row totals table, broadcast the
+    * offsets back. Bit-identical to the single-window form
     * (SchedulerSpec) for any total `orderCols`; correctness never
-    * depends on where the range sampler put the boundaries. */
+    * depends on where the bucket boundaries land. */
   def globalPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
       outCol: String, parts: Int = 0): DataFrame = {
     val n = if (parts > 0) parts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols: _*)
+    val ranged = orderBuckets(df, orderCols, n)
       .withColumn("__v", valueCol.cast("long"))
-      .withColumn("__pid", spark_partition_id())
     val wRun = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val wAll = Window.partitionBy(col("__pid"))
     val inPart = ranged
       .withColumn("__run", coalesce(sum(col("__v")).over(wRun), lit(0L)))
-      .withColumn("__tot", sum(col("__v")).over(wAll))
-      .withColumn("__r", row_number().over(wIn))
+    // per-bucket totals via groupBy (map-side partials) — see globalRank
     val wOff = Window.orderBy(col("__opid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = inPart.filter(col("__r") === 1)
-      .select(col("__pid").as("__opid"), col("__tot"))
+    val offsets = ranged.groupBy(col("__pid").as("__opid"))
+      .agg(sum(col("__v")).as("__tot"))
       .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
       .select(col("__opid"), col("__off"))
     inPart
       .join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn(outCol, col("__off") + col("__run"))
-      .drop("__pid", "__v", "__run", "__tot", "__r", "__opid", "__off")
+      .drop("__pid", "__v", "__run", "__opid", "__off")
   }
 
   /** robots.txt gate: drop urls whose path matches a disallowed prefix for
