@@ -964,6 +964,35 @@ object DataOpsQueries {
         .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"))
     }),
 
+    // Exact per-language token-count quantiles (p25/p50/p75/p90) — the
+    // calibration step behind corpus quality thresholds, computed WITHOUT
+    // either scale trap: `percentile()` buffers every value of a group in
+    // one aggregation buffer (OOM at 10^10 rows/group), and a
+    // `Window.partitionBy(lang)` sort puts each whole language in ONE
+    // task (5 langs → 5 tasks, the hot-group trap Sampling kills). Here
+    // the quantile is SELECTED by rank: one globalRank over (lang,
+    // n_tokens, doc_id) — lang spans are contiguous because lang leads
+    // the key — then per-lang (base, n) from a tiny agg, and the value at
+    // in-group rank ceil(pct·n/100) comes back via a broadcast join on
+    // the globally-unique rank. All integer arithmetic: (pct·n+99) DIV
+    // 100 == percentile_disc's ceil(q·n) rank with no float drift (a
+    // double 0.9·n rounds UP past the true rank for n a multiple of 10).
+    "c32_length_quantiles" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        col("doc_id"))
+      val ranked = graft.sched.Scheduler.globalRank(d,
+        Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
+      val targets = ranked.groupBy(col("pred_lang").as("__tlang"))
+        .agg(min(col("grk")).as("__base"), count(lit(1)).as("__n"))
+        .select(col("__tlang"), col("__base"), col("__n"),
+          explode(typedlit(Seq(25L, 50L, 75L, 90L))).as("pct"))
+        .withColumn("__tgt", col("__base") + expr("(pct * __n + 99) DIV 100") - 1)
+      ranked.join(broadcast(targets), col("grk") === col("__tgt"))
+        .select(col("pred_lang"), col("pct"), col("n_tokens").as("v"))
+    }),
+
     // Incremental shard packing — the append leg of k5 (per crawl batch:
     // new docs pack AFTER the stored corpus, stored rows untouched): the
     // batch's prefix sums shift by ONE scalar (the stored token total, a
@@ -1717,6 +1746,10 @@ object DataOpsQueries {
 
     "c31_corpus_rollup" -> TextOracle.corpusRollupSql,
 
+    // same integer rank selection ((pct·n+99)//100 == percentile_disc's
+    // ceil(q·n) with no float drift), same langid and token count
+    "c32_length_quantiles" -> TextOracle.lengthQuantilesSql,
+
     // the single-window form the distributed two-pass prefix sum must
     // reproduce bit-identically
     "k5_shard_pack" ->
@@ -1871,4 +1904,23 @@ object TextOracle {
        |  CAST(GROUPING(size_tier) AS BIGINT) AS g_tier,
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM enriched GROUP BY ROLLUP(pred_lang, size_tier)""".stripMargin
+
+  /** The c32 twin: per-language exact quantiles by integer rank selection —
+    * the single-window form of the engine's distributed rank; the rank
+    * formula (pct·n+99)//100 equals percentile_disc's ceil(q·n). */
+  val lengthQuantilesSql: String =
+    s"""WITH scored AS (SELECT doc_id, text,
+       |  $scoreCols
+       |FROM documents),
+       |t AS (SELECT doc_id,
+       |  ($predLangExpr).l AS pred_lang,
+       |  $tokenCountSql0 AS n_tokens
+       |FROM scored),
+       |r AS (SELECT pred_lang, n_tokens,
+       |  row_number() OVER (PARTITION BY pred_lang ORDER BY n_tokens, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY pred_lang) AS n
+       |FROM t)
+       |SELECT pred_lang, pct, n_tokens AS v
+       |FROM r JOIN (SELECT unnest([25,50,75,90]) AS pct) q
+       |  ON rk = (pct * n + 99) // 100""".stripMargin
 }

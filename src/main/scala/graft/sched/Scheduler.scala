@@ -188,7 +188,9 @@ object Scheduler {
       .select(col("__opid"), col("__off"))
     inPart
       .join(broadcast(offsets), col("__pid") === col("__opid"))
-      .withColumn(rankCol, (col("__off") + col("__r")).cast("int"))
+      // rank is LONG: an int overflows past 2^31 rows (the 10^10 posture),
+      // and the DuckDB twin's row_number() is BIGINT anyway
+      .withColumn(rankCol, col("__off") + col("__r"))
       .drop("__pid", "__r", "__opid", "__off")
   }
 

@@ -77,9 +77,9 @@ class SchedulerSpec extends SparkSpec {
     }.toDF("id", "grp", "band").repartition(8)
     val keys = Seq(col("grp").isNotNull, col("grp"), col("band"), col("id"))
     val single = df.withColumn("rk", row_number().over(Window.orderBy(keys: _*)))
-      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val dist = Scheduler.globalRank(df, keys, "rk", parts = 8)
-      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == single)
     // boolean leading key → the generic fallback: range partitioning present
     val plan = Scheduler.globalRank(df, keys, "rk", parts = 8)
@@ -118,9 +118,9 @@ class SchedulerSpec extends SparkSpec {
     val df = (0 until 5000).map(i => ((i * 7919L) % 5000, i % 3)).toDF("id", "band")
     val keys = Seq(col("id"), col("band"))
     val single = df.withColumn("rk", row_number().over(Window.orderBy(keys: _*)))
-      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val q = Scheduler.globalRank(df, keys, "rk", parts = 8)
-    val dist = q.select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = q.select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == single)
     // quantile-bucket path: no range exchange; the corpus crosses the wire
     // exactly once (the in-bucket window's hash exchange) — the offsets
