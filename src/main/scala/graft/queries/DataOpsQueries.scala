@@ -977,20 +977,39 @@ object DataOpsQueries {
     // the globally-unique rank. All integer arithmetic: (pct·n+99) DIV
     // 100 == percentile_disc's ceil(q·n) rank with no float drift (a
     // double 0.9·n rounds UP past the true rank for n a multiple of 10).
-    "c32_length_quantiles" -> ((s, dir) => {
+    "c32_length_quantiles" -> ((s, dir) =>
+      quantilesByRank(Fixture.documents(s, dir).select(
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        col("doc_id")))),
+
+    // Incremental quantile maintenance — the seventh incremental-
+    // maintenance leg (seen / ANN / band / labels / redirects / shards /
+    // quantile stats): a crawl batch arrives (here: the English pages past
+    // the 60% doc_id cut); only the languages the batch TOUCHES recompute
+    // their quantiles — over a semi-join-pruned scan of stored+batch rows
+    // of those languages — while untouched languages are served from the
+    // stored stats artifact (emulated by the stored-side computation,
+    // which it row-equals since no batch row changes them). Per batch the
+    // recompute cost is O(touched-language rows), never the corpus. Same
+    // oracle as c32 proves update ≡ full recompute exactly.
+    "k7_quantile_update" -> ((s, dir) => {
       val d = Fixture.documents(s, dir).select(
         TextAnalysis.langId(col("text")).as("pred_lang"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         col("doc_id"))
-      val ranked = graft.sched.Scheduler.globalRank(d,
-        Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
-      val targets = ranked.groupBy(col("pred_lang").as("__tlang"))
-        .agg(min(col("grk")).as("__base"), count(lit(1)).as("__n"))
-        .select(col("__tlang"), col("__base"), col("__n"),
-          explode(typedlit(Seq(25L, 50L, 75L, 90L))).as("pct"))
-        .withColumn("__tgt", col("__base") + expr("(pct * __n + 99) DIV 100") - 1)
-      ranked.join(broadcast(targets), col("grk") === col("__tgt"))
-        .select(col("pred_lang"), col("pct"), col("n_tokens").as("v"))
+      val cut = d.agg((max("doc_id") * 6 / 10).cast("long").as("__cut"))
+      val dd = d.crossJoin(broadcast(cut))
+      val isBatch = col("doc_id") > col("__cut") && col("pred_lang") === "en"
+      val stored = dd.filter(!isBatch).drop("__cut")
+      val batch = dd.filter(isBatch).drop("__cut")
+      val touched = broadcast(
+        batch.select(col("pred_lang").as("__touched")).distinct())
+      val recomputed = quantilesByRank(stored.unionByName(batch)
+        .join(touched, col("pred_lang") === col("__touched"), "left_semi"))
+      val untouched = quantilesByRank(stored
+        .join(touched, col("pred_lang") === col("__touched"), "left_anti"))
+      recomputed.unionByName(untouched)
     }),
 
     // Incremental shard packing — the append leg of k5 (per crawl batch:
@@ -1750,6 +1769,10 @@ object DataOpsQueries {
     // ceil(q·n) with no float drift), same langid and token count
     "c32_length_quantiles" -> TextOracle.lengthQuantilesSql,
 
+    // update ≡ full recompute: the SAME full-corpus quantile SQL — green
+    // proves the touched-language-pruned maintenance path loses nothing
+    "k7_quantile_update" -> TextOracle.lengthQuantilesSql,
+
     // the single-window form the distributed two-pass prefix sum must
     // reproduce bit-identically
     "k5_shard_pack" ->
@@ -1780,6 +1803,26 @@ object DataOpsQueries {
         |  start_offset // 2000 AS shard_id
         |FROM c""".stripMargin
   )
+
+  /** Rank-selection quantiles (the c32 core, reused by k7's maintenance
+    * path): exact per-group p25/50/75/90 of `n_tokens` over
+    * (pred_lang, n_tokens, doc_id) rows — one globalRank (language spans
+    * are contiguous because pred_lang leads the key), a tiny per-language
+    * (base, n) aggregate expanded to integer target ranks, and the value
+    * at each target back via a broadcast join on the globally-unique
+    * rank. See the c32 entry for why neither `percentile()` nor a
+    * per-language window survives 10^10 rows. */
+  private def quantilesByRank(d: DataFrame): DataFrame = {
+    val ranked = graft.sched.Scheduler.globalRank(d,
+      Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
+    val targets = ranked.groupBy(col("pred_lang").as("__tlang"))
+      .agg(min(col("grk")).as("__base"), count(lit(1)).as("__n"))
+      .select(col("__tlang"), col("__base"), col("__n"),
+        explode(typedlit(Seq(25L, 50L, 75L, 90L))).as("pct"))
+      .withColumn("__tgt", col("__base") + expr("(pct * __n + 99) DIV 100") - 1)
+    ranked.join(broadcast(targets), col("grk") === col("__tgt"))
+      .select(col("pred_lang"), col("pct"), col("n_tokens").as("v"))
+  }
 }
 
 /** DuckDB twin of the d3 simhash: the SAME 60-bit md5-prefix token hash,
