@@ -977,11 +977,20 @@ object DataOpsQueries {
     // the globally-unique rank. All integer arithmetic: (pct·n+99) DIV
     // 100 == percentile_disc's ceil(q·n) rank with no float drift (a
     // double 0.9·n rounds UP past the true rank for n a multiple of 10).
-    "c32_length_quantiles" -> ((s, dir) =>
-      quantilesByRank(Fixture.documents(s, dir).select(
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        col("doc_id")))),
+    "c32_length_quantiles" -> ((s, dir) => {
+      // persist the scored projection: the rank machinery forks its
+      // lineage (window pass + counts pass + targets), and without the
+      // cache each fork re-runs the langId marker scans over the corpus
+      // (measured 4× at sf0.1); the final relation is ≤ langs×4 rows, so
+      // materialize it eagerly and release the cache before returning
+      val d = Fixture.documents(s, dir).select(
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try tinyResult(s, quantilesByRank(d))
+      finally { d.unpersist(); () }
+    }),
 
     // Incremental quantile maintenance — the seventh incremental-
     // maintenance leg (seen / ANN / band / labels / redirects / shards /
@@ -994,22 +1003,28 @@ object DataOpsQueries {
     // recompute cost is O(touched-language rows), never the corpus. Same
     // oracle as c32 proves update ≡ full recompute exactly.
     "k7_quantile_update" -> ((s, dir) => {
+      // persisted for the same reason as c32 — the two maintenance legs
+      // (touched recompute, stored-side untouched) would otherwise each
+      // re-run the langId scans per lineage fork (measured 8× at sf0.1)
       val d = Fixture.documents(s, dir).select(
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        col("doc_id"))
-      val cut = d.agg((max("doc_id") * 6 / 10).cast("long").as("__cut"))
-      val dd = d.crossJoin(broadcast(cut))
-      val isBatch = col("doc_id") > col("__cut") && col("pred_lang") === "en"
-      val stored = dd.filter(!isBatch).drop("__cut")
-      val batch = dd.filter(isBatch).drop("__cut")
-      val touched = broadcast(
-        batch.select(col("pred_lang").as("__touched")).distinct())
-      val recomputed = quantilesByRank(stored.unionByName(batch)
-        .join(touched, col("pred_lang") === col("__touched"), "left_semi"))
-      val untouched = quantilesByRank(stored
-        .join(touched, col("pred_lang") === col("__touched"), "left_anti"))
-      recomputed.unionByName(untouched)
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cut = d.agg((max("doc_id") * 6 / 10).cast("long").as("__cut"))
+        val dd = d.crossJoin(broadcast(cut))
+        val isBatch = col("doc_id") > col("__cut") && col("pred_lang") === "en"
+        val stored = dd.filter(!isBatch).drop("__cut")
+        val batch = dd.filter(isBatch).drop("__cut")
+        val touched = broadcast(
+          batch.select(col("pred_lang").as("__touched")).distinct())
+        val recomputed = quantilesByRank(stored.unionByName(batch)
+          .join(touched, col("pred_lang") === col("__touched"), "left_semi"))
+        val untouched = quantilesByRank(stored
+          .join(touched, col("pred_lang") === col("__touched"), "left_anti"))
+        tinyResult(s, recomputed.unionByName(untouched))
+      } finally { d.unpersist(); () }
     }),
 
     // Incremental shard packing — the append leg of k5 (per crawl batch:
@@ -1812,6 +1827,14 @@ object DataOpsQueries {
     * at each target back via a broadcast join on the globally-unique
     * rank. See the c32 entry for why neither `percentile()` nor a
     * per-language window survives 10^10 rows. */
+  /** Eagerly materialize a BOUNDED result (quantile tables: ≤ langs×4
+    * rows) into a local relation, so the caller's try/finally can release
+    * the persisted input the plan depends on before returning. */
+  private def tinyResult(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   private def quantilesByRank(d: DataFrame): DataFrame = {
     val ranked = graft.sched.Scheduler.globalRank(d,
       Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
