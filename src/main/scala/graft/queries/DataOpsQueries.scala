@@ -1835,6 +1835,15 @@ object DataOpsQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Plan-dump hook: the c32/k7 entries eagerly materialize their bounded
+    * result (so their returned relation is a LocalTableScan); this exposes
+    * the underlying distributed rank-selection plan for PLANS.md. */
+  def lengthQuantilesPlan(s: SparkSession, dir: String): DataFrame =
+    quantilesByRank(Fixture.documents(s, dir).select(
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      col("doc_id")))
+
   private def quantilesByRank(d: DataFrame): DataFrame = {
     val ranked = graft.sched.Scheduler.globalRank(d,
       Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
