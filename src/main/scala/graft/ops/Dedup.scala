@@ -694,6 +694,51 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
   }
 
+  /** Cross-corpus duplicated-SPAN scrub — the Gopher/RefinedWeb exact
+    * substring-dedup pass the document-level detectors above cannot
+    * express: any k-gram that occurs in ≥ 2 DISTINCT documents is a
+    * duplicated span, and every token it covers is removed from every
+    * document that carries it (production runs this with k≈50 over
+    * token ids; the semantics are identical). Emits one row per input
+    * doc: `(doc_id, n_tokens, n_scrubbed, scrubbed_md5)` where
+    * `scrubbed_md5` hashes the surviving tokens re-joined in order —
+    * so an oracle check proves position bookkeeping, not just counts.
+    *
+    * Scale shape: the k-gram stream is `posexplode` over the codegen'd
+    * [[graft.functions.graftfns.shingles]] kernel (linear, row-local);
+    * the duplicated-gram set is ONE hash aggregate keyed on the 60-bit
+    * cross-engine md5 prefix (8-byte shuffle key, never the gram text —
+    * same trick as [[exact]]), with `countDistinct(doc)` planned as the
+    * two-phase partial-distinct aggregate; cover positions ride a
+    * left-semi join back on that same key and collapse per doc through
+    * `collect_set` (bounded by document length, not corpus size). The
+    * final token filter is a row-local lambda over the doc's own token
+    * array. No window, no quadratic self-join; a boilerplate span
+    * duplicated a billion times is one reduce-side group. */
+  def spanScrub(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span width must be >= 2: $k")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+    val ngrams = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.graftfns.shingles(col("toks"), k)).as(Seq("p", "ng")))
+      .select(col("doc_id"), col("p"), CrossHash.md5Hash60(col("ng")).as("ngh"))
+    val dup = ngrams.groupBy("ngh")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("ngh")
+    val cover = ngrams.join(dup, Seq("ngh"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("cov"))
+    base.join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_scrubbed"),
+        md5(array_join(
+          filter(col("toks"), (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))),
+          " ").cast("binary")).as("scrubbed_md5"))
+  }
+
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join
     * never goes quadratic. */

@@ -143,6 +143,38 @@ object Sampling {
       .toDF(groupCol, payloadCol, weightCol, "rk")
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual-LM sampling
+    * step: mC4/XLM-R style, α = 0.5): each group's quota is
+    * `min(n_g, (kTotal * w_g) DIV Σw)` with the integer weight
+    * `w_g = floor(sqrt(n_g))` — a dominant language's share of the mix
+    * shrinks toward the flattened α-power distribution while tail
+    * languages are never upsampled past their own size. Every term is
+    * integer or a correctly-rounded IEEE sqrt of an integer, so the
+    * quota math is bit-reproducible in the DuckDB oracle (no
+    * float-summation-order hazard).
+    *
+    * Selection inside a group is the same bounded top-k-by-hash as
+    * [[stratifiedSample]] — kTotal bounds every quota by construction,
+    * so one aggregator pass with k = kTotal, then a broadcast join
+    * against the (tiny, one row per group) quota table trims each group
+    * to its own quota. O(kTotal) state per group, map-side partials, no
+    * per-group window sort, no driver round-trip. Output:
+    * (groupCol STRING, idCol LONG, rk LONG, quota LONG). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      kTotal: Int): DataFrame = {
+    val counts = df.groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+    val w = counts.withColumn("w", floor(sqrt(col("n_g"))).cast("long"))
+    val sumw = w.agg(sum(col("w")).cast("long").as("sw"))
+    val quotas = w.crossJoin(broadcast(sumw))
+      .withColumn("quota", least(col("n_g"), expr(s"($kTotal * w) DIV sw")))
+      .select(col(groupCol), col("quota"))
+    stratifiedSample(df, groupCol, idCol, kTotal)
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("rk"), col("quota"))
+  }
+
   /** k rows per group, ranked by the cross-engine id hash. Output columns:
     * (groupCol STRING, idCol LONG, rk LONG with rk in 1..k). */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {

@@ -217,6 +217,17 @@ object DataOpsQueries {
         k = 3, maxDf = 100, thresholdNum = 4, thresholdDen = 5)
     }),
 
+    // Cross-corpus duplicated-SPAN scrub — the exact substring-dedup pass
+    // (Gopher/RefinedWeb "drop any k-gram seen in two documents") that
+    // document-level d1/d2/d3 cannot express: a 5-gram occurring in ≥ 2
+    // distinct docs has every covered token removed from every carrier.
+    // The scrubbed_md5 re-joins the SURVIVING tokens in order, so the
+    // oracle (which rebuilds the scrub over the n-gram STRINGS) checks
+    // position bookkeeping, not just counts — and, like t6, equality
+    // proves the engine's 60-bit hashed dup-key loses nothing.
+    "d17_span_scrub" -> ((s, dir) =>
+      Dedup.spanScrub(Fixture.documents(s, dir), "text", "doc_id", k = 5)),
+
     // End-to-end corpus-build composition — the query a training-data user
     // actually runs, all within ONE lazy plan chain (no driver round-trip
     // between stages): exact dedup survivors → near-dup collapse (connected
@@ -515,6 +526,17 @@ object DataOpsQueries {
     "s1_stratified_sample" -> ((s, dir) =>
       graft.ops.Sampling.stratifiedSample(
         Fixture.documents(s, dir), "source", "doc_id", k = 5)),
+
+    // Temperature-flattened multilingual mix (α = 0.5): per-language
+    // quota ∝ floor(sqrt(n_lang)) of a 100-doc budget, capped at the
+    // language's own size — en's ~41% corpus share flattens to ~30% of
+    // the sample while tail languages rise. All-integer quota math (plus
+    // one correctly-rounded IEEE sqrt) makes the quotas bit-reproducible
+    // in DuckDB; selection is the same bounded top-k-by-hash as s1, so
+    // green proves heap-vs-window equality under per-group VARIABLE k.
+    "s2_temperature_sample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(
+        Fixture.documents(s, dir), "lang", "doc_id", kTotal = 100)),
 
     // Benchmark decontamination — distinct-5-gram overlap of every corpus
     // doc against a broadcast benchmark set (the GPT-3/PaLM eval-leakage
@@ -1205,6 +1227,37 @@ object DataOpsQueries {
     // SAME df cap and cross-multiplied 4/5 thresholds; quotes keep the
     // sliced token list directly (rejoin+resplit on the Spark side is
     // token-identical — vocab tokens contain no whitespace)
+    // the oracle scrubs over the n-gram STRINGS (the engine keys the dup
+    // set on the 60-bit hash — equality proves the hashed key lossless,
+    // the t6 pattern) and rebuilds each doc's surviving text to the same
+    // md5, so token-position bookkeeping is value-checked end to end
+    "d17_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(toks)-4, 0))) AS p,
+        |    unnest(list_transform(range(0, greatest(len(toks)-4, 0)),
+        |      i -> array_to_string(toks[i+1:i+5], ' '))) AS ng
+        |  FROM toks),
+        |dup AS (SELECT ng FROM ng GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list(pos) AS cov FROM (
+        |    SELECT DISTINCT n.doc_id, n.p + u.j AS pos
+        |    FROM ng n JOIN dup USING (ng), (SELECT unnest(range(0, 5)) AS j) u)
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_scrubbed,
+        |  -- array_to_string([]) is NULL in DuckDB (not '') — an
+        |  -- all-scrubbed doc must hash the empty string like the engine
+        |  md5(coalesce(array_to_string(list_filter(list_transform(range(0, len(t.toks)),
+        |      i -> CASE WHEN c.cov IS NULL OR NOT list_contains(c.cov, i)
+        |        THEN t.toks[i+1] END),
+        |    x -> x IS NOT NULL), ' '), '')) AS scrubbed_md5
+        |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
     "d16_containment" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -1456,6 +1509,24 @@ object DataOpsQueries {
     // the oracle ranks by the SAME 60-bit md5-prefix hash (cross-engine
     // parity trick shared with the repo's other hash oracles); equality
     // proves the bounded-heap aggregation == a full window sort
+    // quota math is all-integer (one correctly-rounded IEEE sqrt), so
+    // both engines compute the IDENTICAL per-language quota; the rank is
+    // the shared 60-bit hash — green proves bounded-heap == window sort
+    // under per-group variable k
+    "s2_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_g, CAST(floor(sqrt(n_g)) AS BIGINT) AS w FROM n),
+        |q AS (SELECT lang, least(n_g,
+        |    CAST((100 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS BIGINT)) AS quota
+        |  FROM w),
+        |h AS (SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h)
+        |SELECT r.lang, r.doc_id, r.rk, q.quota
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""".stripMargin,
+
     "s1_stratified_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh

@@ -233,6 +233,56 @@ class OpsSpec extends SparkSpec {
       "stratified sample must not plan a window sort")
   }
 
+  test("temperature sample: sqrt-flattened integer quotas, capped at group size") {
+    import spark.implicits._
+    // skewed corpus: 100 "en", 16 "de", 4 "fr" → w = 10, 4, 2 (Σ 16);
+    // kTotal 32 → quotas 20, 8, 4 — en falls from 83% of the corpus to
+    // 62.5% of the mix; fr's quota (4) hits its own size cap exactly
+    val rows = (0L until 100L).map((_, "en")) ++
+      (100L until 116L).map((_, "de")) ++ (116L until 120L).map((_, "fr"))
+    val got = graft.ops.Sampling.temperatureSample(
+      rows.toDF("doc_id", "lang"), "lang", "doc_id", kTotal = 32)
+    val sizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("en" -> 20L, "de" -> 8L, "fr" -> 4L), s"quotas: $sizes")
+    // selection within a group = the k lowest id-hashes (same order as s1)
+    val gotEn = got.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expectEn = rows.toDF("doc_id", "lang").filter(col("lang") === "en")
+      .select(col("doc_id"), graft.ops.Sampling.idHash(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotEn == expectEn)
+    // scale contract: still no window sort anywhere in the plan
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "temperature sample must not plan a window sort")
+  }
+
+  test("span scrub removes exactly the tokens covered by cross-doc duplicated k-grams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e x"),     // 5-gram "a b c d e" also in doc 2 → scrub pos 0-4
+      (2L, "z a b c d e"),     // → scrub pos 1-5, survivor "z"
+      (3L, "p q r s t u"),     // unique 5-grams → untouched
+      (4L, "a b c d e"),       // all tokens covered → empty survivor
+      (5L, "short doc")        // < k tokens → no grams, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(df, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((6L, 5L, m("x"))))
+    assert(got(2L) == ((6L, 5L, m("z"))))
+    assert(got(3L) == ((6L, 0L, m("p q r s t u"))))
+    assert(got(4L) == ((5L, 5L, m(""))))
+    assert(got(5L) == ((2L, 0L, m("short doc"))))
+    // a WITHIN-doc repeat alone is not a duplicated span (distinct-doc ≥ 2)
+    val solo = Dedup.spanScrub(
+      Seq((7L, "r r r r r r r r r r")).toDF("doc_id", "text"), "text", "doc_id", k = 5)
+      .collect()(0)
+    assert(solo.getLong(2) == 0L && solo.getString(3) == m("r r r r r r r r r r"))
+  }
+
   private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
