@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding merge-table training — the iterative tokenizer-
+  * training loop whose FIRST pair count is the v2_bpe_pairs query.
+  * Reference semantics (Sennrich et al. 2016, the GPT-2 trainer): words
+  * start character-split; each round counts adjacent symbol pairs
+  * weighted by word frequency, merges the most frequent pair everywhere
+  * (ties broken lexicographically so training is deterministic), and
+  * repeats.
+  *
+  * Scale shape: BPE trains over the WORD-FREQUENCY table, not the
+  * corpus — one corpus-wide shuffle builds `(word, freq)` and every
+  * merge round runs over that far smaller table (Zipf: a 100 TB corpus
+  * collapses to ~10^7 distinct words). The rounds run on RDDs for the
+  * same measured reason as the CC loop (driver-side Catalyst
+  * recompilation of an identically-shaped plan dominates small
+  * closures), with lineage truncated on the shared [[IterSupport]]
+  * policy. The per-round driver step is ONE top-1 pair via
+  * `takeOrdered(1)` — per-partition top-1 then a k-way merge, never a
+  * collect — which is the algorithm's inherent sequential dependency:
+  * round r's counts are defined over round r-1's merge applied
+  * everywhere. */
+object Bpe {
+
+  /** Greedy left-to-right merge application (the reference tokenizer's
+    * scan): non-overlapping occurrences of (l, r) collapse to l+r. */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Round ordering: frequency DESC, then (lhs, rhs) lexicographic ASC —
+    * the deterministic tie-break both the distributed loop and the spec's
+    * single-node reference share. */
+  private val bestPair: Ordering[((String, String), Long)] =
+    Ordering.by { case ((l, r), c) => (-c, l, r) }
+
+  /** Train `numMerges` merges over a text corpus. Output one row per
+    * learned merge: (merge_rank, lhs, rhs, pair_freq), rank 1-based in
+    * learning order. Stops early (fewer rows) if the vocab runs out of
+    * adjacent pairs. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+
+    // corpus → word-frequency table: the ONLY corpus-sized pass
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    var vocab: RDD[(Array[String], Long)] =
+      words.rdd.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // materialize the corpus pass once, before the rounds
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var done = false
+    try {
+      while (rank <= numMerges && !done) {
+        val top = vocab.flatMap { case (syms, f) =>
+          Iterator.range(0, syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))
+        }.reduceByKey(_ + _).takeOrdered(1)(bestPair)
+        if (top.isEmpty) done = true
+        else {
+          val ((l, r), c) = top(0)
+          merges += ((rank.toLong, l, r, c))
+          if (rank < numMerges) { // the last merge is never re-applied
+            val next = vocab.map { case (syms, f) => (applyMerge(syms, l, r), f) }
+            // truncate lineage each round (the shared policy); materialize
+            // before dropping the parent so the round never recomputes
+            IterSupport.truncateRdd(next, reliable)
+            next.count()
+            vocab.unpersist()
+            vocab = next
+          }
+          rank += 1
+        }
+      }
+    } finally { vocab.unpersist(); () }
+
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("pair_freq", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.toSeq.map { case (k, l, r, c) => Row(k, l, r, c) }, 1),
+      schema)
+  }
+}

@@ -855,6 +855,16 @@ object DataOpsQueries {
       graft.ops.Sampling.topKWeighted(pairs, "corpus", "pair", "cnt", k = 30)
     }),
 
+    // Full iterative BPE merge-table training (v2 is its first round):
+    // 20 merges learned over the corpus's word-frequency table, ties
+    // broken lexicographically so the table is deterministic at every
+    // scale. No ANSI-SQL oracle exists for the round-r-depends-on-round-
+    // r-1 recursion (the driver records rows-only); the semantic check is
+    // OpsSpec's row-for-row equality against a single-node reference
+    // trainer on a corpus where merges chain into multi-char subwords.
+    "v3_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.train(Fixture.documents(s, dir), "text", numMerges = 20)),
+
     // K-means assignment — the Lloyd step inside Similarity.train (the
     // IVF trainer), exposed in exact integer arithmetic so both engines
     // compute THE SAME argmin: centroids are the first 16 quantized

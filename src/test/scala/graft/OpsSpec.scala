@@ -283,6 +283,58 @@ class OpsSpec extends SparkSpec {
     assert(solo.getLong(2) == 0L && solo.getString(3) == m("r r r r r r r r r r"))
   }
 
+  /** Single-node reference BPE trainer (Sennrich-style, same tie-break:
+    * freq DESC then pair lexicographic ASC) — the oracle for the
+    * distributed loop, since the round-on-round recursion has no SQL. */
+  private def refBpe(corpus: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+    val words = corpus.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toArray, ws.size.toLong) }
+    var vocab = words.toVector
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), cc) => (-cc, a, b) }
+        out += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, f) => (graft.ops.Bpe.applyMerge(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("BPE training: distributed merge table == single-node reference, merges chain") {
+    import spark.implicits._
+    // deterministic corpus with enough repetition that merges CHAIN
+    // (later merges consume earlier merged symbols → multi-char subwords)
+    val corpus = (0 until 120).map { i =>
+      val w = Seq("lower", "lowest", "newer", "newest", "wider", "low", "new")
+      (0 until 6).map(j => w((i * 7 + j * 3) % w.length)).mkString(" ")
+    }
+    val got = graft.ops.Bpe.train(corpus.toDF("text"), "text", numMerges = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val expect = refBpe(corpus, 12)
+    assert(got == expect, s"merge tables diverged:\n got=$got\n exp=$expect")
+    // the learned table must contain at least one chained merge — a lhs or
+    // rhs that is itself a multi-char product of an earlier merge
+    assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 },
+      s"no chained merges learned: $got")
+    // left-to-right non-overlapping application: "aaa" under (a,a) → [aa, a]
+    assert(graft.ops.Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+  }
+
   private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
