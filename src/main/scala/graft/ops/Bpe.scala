@@ -104,4 +104,54 @@ object Bpe {
         merges.toSeq.map { case (k, l, r, c) => Row(k, l, r, c) }, 1),
       schema)
   }
+
+  /** Encode a corpus with a learned merge table: per word, replay the
+    * merges in rank order (the reference tokenizer's slow-but-exact
+    * form; production encoders keep a pair-priority heap per word — the
+    * OUTPUT is identical, this is the semantics anchor). Emits one row
+    * per doc: `(doc_id, n_subwords, encoded_md5)` where the md5 hashes
+    * the doc's full subword sequence space-joined — so any divergence in
+    * merge order or application is a value diff, not just a count.
+    *
+    * Scale shape: the merge table is vocab-scoped and rank-ordered —
+    * BROADCAST state by definition (a 50k-merge GPT-2-sized table is
+    * ~1 MB); the encode itself is one row-local map over the corpus, no
+    * shuffle at any size. The `collect` here gathers that table, never
+    * corpus data. */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table: Array[(String, String)] = merges
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"))
+      .as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(table)
+    val out = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("words"))
+      .as[(Long, Array[String])]
+      .map { case (id, ws) =>
+        val t = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var n = 0L
+        var first = true
+        ws.foreach { w =>
+          var syms = w.map(_.toString).toArray
+          var i = 0
+          while (i < t.length && syms.length > 1) {
+            syms = applyMerge(syms, t(i)._1, t(i)._2); i += 1
+          }
+          n += syms.length
+          syms.foreach { s =>
+            if (!first) md.update(' '.toByte)
+            md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            first = false
+          }
+        }
+        (id, n, md.digest().map("%02x".format(_)).mkString)
+      }
+      .toDF("doc_id", "n_subwords", "encoded_md5")
+    out
+  }
 }

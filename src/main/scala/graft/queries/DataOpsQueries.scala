@@ -865,6 +865,20 @@ object DataOpsQueries {
     "v3_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.train(Fixture.documents(s, dir), "text", numMerges = 20)),
 
+    // Train-then-encode round trip: the corpus tokenized with its OWN
+    // 20-merge table — the composition a tokenizer user runs, proving the
+    // learned table is usable, not just well-formed. The encode is one
+    // row-local map under a broadcast merge table (no shuffle at any
+    // corpus size); the md5 hashes each doc's full subword sequence so a
+    // single out-of-order merge anywhere is a value diff. Rows-only at
+    // the driver (same recursion as v3); semantics pinned by OpsSpec
+    // equality against the single-node reference encoder.
+    "v4_bpe_encode" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      graft.ops.Bpe.encode(docs, "text", "doc_id",
+        graft.ops.Bpe.train(docs, "text", numMerges = 20))
+    }),
+
     // K-means assignment — the Lloyd step inside Similarity.train (the
     // IVF trainer), exposed in exact integer arithmetic so both engines
     // compute THE SAME argmin: centroids are the first 16 quantized

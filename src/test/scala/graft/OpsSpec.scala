@@ -335,6 +335,39 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
   }
 
+  test("BPE encode: distributed == reference replay; subwords losslessly rebuild each word") {
+    import spark.implicits._
+    val corpus = (0 until 80).map { i =>
+      val w = Seq("lower", "lowest", "newer", "newest", "wider", "low", "new")
+      (0 until 5).map(j => w((i * 5 + j * 2) % w.length)).mkString(" ")
+    }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 10)
+    val got = graft.ops.Bpe.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // reference: the same rank-order replay, single-node
+    val table = refBpe(corpus, 10).map { case (_, l, r, _) => (l, r) }
+    def encWord(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toArray
+      table.foreach { case (l, r) => if (syms.length > 1) syms = graft.ops.Bpe.applyMerge(syms, l, r) }
+      syms.toSeq
+    }
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val subs = t.trim.toLowerCase.split("\\s+").toSeq.flatMap(encWord)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(subs.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(i.toLong) == ((subs.length.toLong, md)), s"doc $i diverged")
+      // lossless: concatenating a word's subwords rebuilds the word
+      t.trim.toLowerCase.split("\\s+").foreach { w =>
+        assert(encWord(w).mkString == w, s"lossy encode of '$w': ${encWord(w)}")
+      }
+    }
+    // the trained table actually compresses: fewer subwords than chars
+    val totalSubs = got.values.map(_._1).sum
+    val totalChars = corpus.map(_.count(_ != ' ')).sum
+    assert(totalSubs < totalChars, s"no compression: $totalSubs subwords vs $totalChars chars")
+  }
+
   private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
