@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no join may carry the blob into the candidate stream:\n$plan")
   }
 
+  test("span scrub: no window, no cartesian; dup set is a partial-distinct hash agg") {
+    // the scale contract for d17: the duplicated-gram set must plan as a
+    // two-phase hash aggregate (map-side partial before the exchange) and
+    // nothing in the pipeline may fall back to a window sort or an
+    // all-pairs join — at 100 TB the gram stream is corpus-sized
+    val df = SparkEntry.queries("d17_span_scrub")(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), s"span scrub must not plan a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span scrub must not plan an all-pairs join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"dup set must hash-aggregate:\n$plan")
+  }
+
   test("model scoring broadcasts the weight table; score agg is map-side partial") {
     // the corpus-sized token stream must NEVER shuffle to meet the
     // MB-sized model: a shuffled join here moves the whole corpus once
