@@ -26,6 +26,8 @@ object GraftExtensions {
   private val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("phash", "phash(bytes) - 64-bit perceptual average-hash of an encoded image",
       args => PhashExpr(args.head)),
+    ("phash_d4", "phash_d4(bytes) - dihedral-canonical phash: unsigned-min over all 8 rotations/mirrors",
+      args => PhashD4Expr(args.head)),
     ("decode_width", "decode_width(bytes) - image width from the payload header",
       args => DecodeWidthExpr(args.head)),
     ("decode_height", "decode_height(bytes) - image height from the payload header",

@@ -36,6 +36,22 @@ case class PhashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "phash"
 }
 
+/** phash_d4(bytes): dihedral-canonical 64-bit hash — the unsigned-min
+  * average-hash over all 8 rotations/mirrors, so rotated/flipped re-posts
+  * collapse to one value (ImageCodec.dihedralMinHash). */
+case class PhashD4Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.phashD4OfEncoded(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.imagecodec.ImageCodec.phashD4OfEncoded($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashD4Expr = copy(child = newChild)
+  override def prettyName: String = "phash_d4"
+}
+
 /** decode_width(bytes) / decode_height(bytes): header-only dimension read. */
 case class DecodeWidthExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -423,6 +439,7 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
 /** Column-level API over the custom expressions. */
 object graftfns {
   def phash(c: Column): Column = Bridge.column(PhashExpr(Bridge.expression(c)))
+  def phashD4(c: Column): Column = Bridge.column(PhashD4Expr(Bridge.expression(c)))
   def decodeWidth(c: Column): Column = Bridge.column(DecodeWidthExpr(Bridge.expression(c)))
   def decodeHeight(c: Column): Column = Bridge.column(DecodeHeightExpr(Bridge.expression(c)))
   def sniffFormat(c: Column): Column = Bridge.column(SniffFormatExpr(Bridge.expression(c)))

@@ -214,6 +214,67 @@ object ImageCodec {
     averageHash(px, w, h)
   }
 
+  /** 90° clockwise rotation of a decoded gray8 image: output is h×w,
+    * out(y, x) = in(h-1-x, y). */
+  def rotate90(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < w) { // output rows: h_out = w
+      var x = 0
+      while (x < h) { // output cols: w_out = h
+        out(y * h + x) = px((h - 1 - x) * w + y)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Horizontal mirror of a decoded gray8 image (same dims). */
+  def flipHoriz(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = px(y * w + (w - 1 - x)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  private def minUnsigned(a: Long, b: Long): Long =
+    if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b
+
+  /** Dihedral-canonical perceptual hash: the unsigned-min [[averageHash]]
+    * over all 8 rotations/mirrors of the image — two images that are
+    * rotations or mirrors of each other get the SAME value (the orbit is
+    * a group: rot90(px)'s 8 variants are px's 8 variants), so rotated or
+    * flipped re-posts collapse in the same banded hamming engine plain
+    * phash uses. Exact for any dims (each orbit member is hashed from
+    * its own pixels, never by permuting another member's bits). */
+  def dihedralMinHash(px: Array[Byte], w: Int, h: Int): Long = {
+    var best = averageHash(px, w, h)
+    var cur = px; var cw = w; var ch = h
+    var r = 0
+    while (r < 3) {
+      cur = rotate90(cur, cw, ch); val t = cw; cw = ch; ch = t
+      best = minUnsigned(best, averageHash(cur, cw, ch)); r += 1
+    }
+    cur = flipHoriz(px, w, h); cw = w; ch = h
+    best = minUnsigned(best, averageHash(cur, cw, ch))
+    r = 0
+    while (r < 3) {
+      cur = rotate90(cur, cw, ch); val t = cw; cw = ch; ch = t
+      best = minUnsigned(best, averageHash(cur, cw, ch)); r += 1
+    }
+    best
+  }
+
+  def phashD4OfEncoded(bytes: Array[Byte]): Long = {
+    val (px, w, h) = decode(bytes)
+    dihedralMinHash(px, w, h)
+  }
+
   /** Deterministic nearest-neighbor resize of a decoded gray8 image. */
   def resizeNearest(px: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh)

@@ -270,6 +270,38 @@ object DataOpsQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Rotation/mirror-invariant image near-dup — the re-post leg plain
+    // phash (d10) misses: a rotated or flipped copy has a permuted pixel
+    // grid, so its average-hash differs, but its DIHEDRAL ORBIT is the
+    // same 8-element set, and phash_d4 (unsigned-min over the orbit)
+    // collapses the pair to hamming 0. Base corpus excludes the
+    // generator's own cross-format dup plants (doc_id%50==49) so the
+    // ground truth is exactly the rotations/mirrors planted here (PNG
+    // re-encodes of the source's decoded pixels — lossless, so orbit
+    // equality is exact for every source format, xjpg included). Same
+    // banded hamming engine as d3/d10.
+    "d18_rotation_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val n = Fixture.documents(s, dir).count()
+      val base = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"), col("bytes"))
+        .filter(col("id") % 50 =!= 49)
+      val planted = base.filter(col("id") % 40 === 5)
+        .as[(Long, Array[Byte])]
+        .map { case (i, b) =>
+          val c = graft.imagecodec.ImageCodec
+          val (px, w, h) = c.decode(b)
+          val out =
+            if (i % 80 == 5) c.encode(c.rotate90(px, w, h), h, w, "png")
+            else c.encode(c.flipHoriz(px, w, h), w, h, "png")
+          (i + n, out)
+        }.toDF("id", "bytes")
+      val sigs = base.unionByName(planted)
+        .select(col("id"), graft.functions.graftfns.phashD4(col("bytes")).as("sig"))
+      Dedup.hammingCandidates(sigs, "id", "sig", maxHamming = 0, numBands = 8)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // The full per-crawl-batch dedup-maintenance loop, end to end: the
     // corpus arrives in TWO batches; each batch is folded into the
     // persistent band store with BandStore.ingest (emitting exactly the
@@ -1409,6 +1441,16 @@ object DataOpsQueries {
       """SELECT doc_id - 25 AS id_a, doc_id AS id_b
         |FROM documents
         |WHERE doc_id % 50 = 49 AND doc_id >= 25""".stripMargin,
+
+    // planted ground truth in closed form (the d10 pattern): the pairs
+    // are exactly the rotated/mirrored twins planted at id+n — orbit
+    // equality is exact (lossless PNG re-encode of the decoded pixels),
+    // and the measured nearest NON-pair orbit distance stays well above
+    // the hamming-0 gate at every sf
+    "d18_rotation_dedup" ->
+      """SELECT doc_id AS id_a, doc_id + (SELECT count(*) FROM documents) AS id_b
+        |FROM documents
+        |WHERE doc_id % 50 <> 49 AND doc_id % 40 = 5""".stripMargin,
 
     "d11_band_store" -> SimhashOracle.crossSqlFor("documents",
       "a.doc_id % 10 <> 0", "b.doc_id % 10 = 0", maxHamming = 6),

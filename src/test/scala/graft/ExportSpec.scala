@@ -48,8 +48,11 @@ class ExportSpec extends SparkSpec {
     val row = s2.sql(
       """SELECT image_id, phash(bytes) AS p, decode_width(bytes) AS w,
         |  sniff_format(bytes) AS f, psnr(bytes, bytes) AS snr,
-        |  decode_width(resize_nn(bytes, 8, 8)) AS rw
+        |  decode_width(resize_nn(bytes, 8, 8)) AS rw, phash_d4(bytes) AS pd
         |FROM image_docs WHERE image_id = 'img00000003'""".stripMargin).head()
+    assert(row.getAs[Long]("pd") ==
+      graft.imagecodec.ImageCodec.phashD4OfEncoded(
+        graft.model.Synth.makeImageDoc(3L).bytes))
     assert(row.getAs[Int]("w") == graft.model.Synth.wOf(3))
     assert(row.getAs[String]("f") == graft.model.Synth.fmtOf(3))
     assert(row.getAs[Double]("snr").isPosInfinity)

@@ -65,6 +65,57 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(dec, px))
   }
 
+  test("dihedral hash is invariant over the full rotation/mirror orbit, non-square included") {
+    cases.foreach { case (seed, w, h) =>
+      val px = ImageCodec.syntheticPixels(seed, w, h)
+      val base = ImageCodec.dihedralMinHash(px, w, h)
+      // the 4 rotations
+      var cur = px; var cw = w; var ch = h
+      (0 until 3).foreach { _ =>
+        cur = ImageCodec.rotate90(cur, cw, ch); val t = cw; cw = ch; ch = t
+        assert(ImageCodec.dihedralMinHash(cur, cw, ch) == base, s"rot orbit broke at ${cw}x$ch")
+      }
+      // the 4 mirrored rotations
+      cur = ImageCodec.flipHoriz(px, w, h); cw = w; ch = h
+      assert(ImageCodec.dihedralMinHash(cur, cw, ch) == base)
+      (0 until 3).foreach { _ =>
+        cur = ImageCodec.rotate90(cur, cw, ch); val t = cw; cw = ch; ch = t
+        assert(ImageCodec.dihedralMinHash(cur, cw, ch) == base, s"mirror orbit broke at ${cw}x$ch")
+      }
+    }
+  }
+
+  test("rotate90 composes to identity after 4 turns; flipHoriz is an involution") {
+    cases.take(20).foreach { case (seed, w, h) =>
+      val px = ImageCodec.syntheticPixels(seed, w, h)
+      val r4 = ImageCodec.rotate90(ImageCodec.rotate90(
+        ImageCodec.rotate90(ImageCodec.rotate90(px, w, h), h, w), w, h), h, w)
+      assert(r4.toSeq == px.toSeq, s"rot^4 != id at ${w}x$h")
+      assert(ImageCodec.flipHoriz(ImageCodec.flipHoriz(px, w, h), w, h).toSeq == px.toSeq)
+    }
+  }
+
+  test("dihedral hash separates different patterns and survives the lossless re-encode path") {
+    // the d18 planting path: PNG re-encode of the rotated DECODED pixels
+    // must land in the source's orbit exactly, for every source format
+    Seq("bmp", "png", "xjpg").foreach { fmt =>
+      val px = ImageCodec.syntheticPixels(0x77aaL, 32, 16)
+      val src = ImageCodec.encode(px, 32, 16, fmt)
+      val (dpx, w, h) = ImageCodec.decode(src) // xjpg: quantized pixels
+      val planted = ImageCodec.encode(ImageCodec.rotate90(dpx, w, h), h, w, "png")
+      assert(ImageCodec.phashD4OfEncoded(planted) == ImageCodec.phashD4OfEncoded(src),
+        s"orbit equality broke for source fmt $fmt")
+    }
+    // not constant: structurally different images get different values
+    // (seeds MIXED like the fixture's pixelSeedOf — raw small seeds
+    // produce near-identical synthetic patterns by construction)
+    val a = ImageCodec.dihedralMinHash(
+      ImageCodec.syntheticPixels(ImageCodec.mix64(1L), 32, 32), 32, 32)
+    val b = ImageCodec.dihedralMinHash(
+      ImageCodec.syntheticPixels(ImageCodec.mix64(2L), 32, 32), 32, 32)
+    assert(a != b)
+  }
+
   test("phash distinguishes structurally different images (not constant)") {
     val hashes = cases.take(20).map { case (seed, w, h) =>
       ImageCodec.averageHash(ImageCodec.syntheticPixels(seed, w, h), w, h)
