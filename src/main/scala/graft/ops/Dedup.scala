@@ -715,7 +715,10 @@ object Dedup {
     * final token filter is a row-local lambda over the doc's own token
     * array. No window, no quadratic self-join; a boilerplate span
     * duplicated a billion times is one reduce-side group. */
-  def spanScrub(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  /** Shared prelude of [[spanScrub]]/[[scrubbedText]]: one row per input
+    * doc with its token array and the set of positions covered by ≥ 1
+    * cross-doc duplicated k-gram (`cov`, null when nothing matched). */
+  private def spanCover(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span width must be >= 2: $k")
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val base = df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
@@ -731,13 +734,26 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("cov"))
     base.join(cover, Seq("doc_id"), "left")
+  }
+
+  /** The surviving-token array of a covered doc — row-local. */
+  private def survivingToks =
+    filter(col("toks"), (t, i) => !coalesce(array_contains(col("cov"), i), lit(false)))
+
+  def spanScrub(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    spanCover(df, textCol, idCol, k)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_scrubbed"),
-        md5(array_join(
-          filter(col("toks"), (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))),
-          " ").cast("binary")).as("scrubbed_md5"))
-  }
+        md5(array_join(survivingToks, " ").cast("binary")).as("scrubbed_md5"))
+
+  /** [[spanScrub]]'s surviving text itself, for compositions that keep
+    * processing the cleaned corpus (e.g. quality-filter then sample):
+    * one row per input doc, `(doc_id, text)` with the surviving tokens
+    * re-joined in order (possibly empty). */
+  def scrubbedText(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    spanCover(df, textCol, idCol, k)
+      .select(col("doc_id"), array_join(survivingToks, " ").as("text"))
 
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join

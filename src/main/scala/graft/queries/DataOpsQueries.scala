@@ -270,6 +270,24 @@ object DataOpsQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // C4-style corpus cleaning, composed end to end in ONE lazy plan:
+    // scrub cross-doc duplicated 5-gram spans (d17's operator, keeping
+    // the surviving TEXT), quality-gate the SCRUBBED text (a doc whose
+    // body was mostly boilerplate spans drops below the length floor and
+    // exits here — the scrub must run first for the gate to see the
+    // cleaned doc), then temperature-sample the survivors per language
+    // (s2's integer quotas over the SURVIVOR counts, not the raw corpus).
+    // Proves d17 → t2 → s2 compose without a driver round-trip; every
+    // stage is SQL-expressible so the whole chain is hash-checked.
+    "e5_clean_corpus" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val scrubbed = Dedup.scrubbedText(docs, "text", "doc_id", k = 5)
+      val survivors = scrubbed
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.ops.Sampling.temperatureSample(survivors, "lang", "doc_id", kTotal = 50)
+    }),
+
     // Rotation/mirror-invariant image near-dup — the re-post leg plain
     // phash (d10) misses: a rotated or flipped copy has a permuted pixel
     // grid, so its average-hash differs, but its DIHEDRAL ORBIT is the
@@ -1313,6 +1331,51 @@ object DataOpsQueries {
         |        THEN t.toks[i+1] END),
         |    x -> x IS NOT NULL), ' '), '')) AS scrubbed_md5
         |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // the full cleaning chain recomputed stage by stage: d17's scrub CTE
+    // (gram STRINGS, md5-free — it keeps the text), t2's quality formula
+    // over the SCRUBBED text, then s2's integer quota + hash-rank
+    // selection over the survivor counts
+    "e5_clean_corpus" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |ng AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(toks)-4, 0))) AS p,
+         |    unnest(list_transform(range(0, greatest(len(toks)-4, 0)),
+         |      i -> array_to_string(toks[i+1:i+5], ' '))) AS ng
+         |  FROM toks),
+         |dup AS (SELECT ng FROM ng GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, list(pos) AS cov FROM (
+         |    SELECT DISTINCT n.doc_id, n.p + u.j AS pos
+         |    FROM ng n JOIN dup USING (ng), (SELECT unnest(range(0, 5)) AS j) u)
+         |  GROUP BY 1),
+         |scrub AS (
+         |  SELECT t.doc_id,
+         |    coalesce(array_to_string(list_filter(list_transform(range(0, len(t.toks)),
+         |        i -> CASE WHEN c.cov IS NULL OR NOT list_contains(c.cov, i)
+         |          THEN t.toks[i+1] END),
+         |      x -> x IS NOT NULL), ' '), '') AS text
+         |  FROM toks t LEFT JOIN cov c USING (doc_id)),
+         |q AS (${TextOracle.qualitySqlFor("scrub")}),
+         |surv AS (
+         |  SELECT d.lang, q.doc_id
+         |  FROM q JOIN documents d USING (doc_id)
+         |  WHERE q.quality >= CAST(0.7 AS DOUBLE)),
+         |n AS (SELECT lang, count(*) AS n_g FROM surv GROUP BY 1),
+         |w AS (SELECT lang, n_g, CAST(floor(sqrt(n_g)) AS BIGINT) AS w FROM n),
+         |qt AS (SELECT lang, least(n_g,
+         |    CAST((50 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS BIGINT)) AS quota
+         |  FROM w),
+         |h AS (SELECT lang, doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+         |  FROM surv),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h)
+         |SELECT r.lang, r.doc_id, r.rk, qt.quota
+         |FROM r JOIN qt USING (lang) WHERE r.rk <= qt.quota""".stripMargin,
 
     "d16_containment" ->
       """WITH base AS (

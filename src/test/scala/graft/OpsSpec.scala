@@ -283,6 +283,22 @@ class OpsSpec extends SparkSpec {
     assert(solo.getLong(2) == 0L && solo.getString(3) == m("r r r r r r r r r r"))
   }
 
+  test("scrubbedText is exactly the text spanScrub fingerprints (shared cover)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e x"), (2L, "z a b c d e"), (3L, "p q r s t u"),
+      (4L, "a b c d e"), (5L, "short doc")
+    ).toDF("doc_id", "text")
+    val texts = Dedup.scrubbedText(df, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts == Map(1L -> "x", 2L -> "z", 3L -> "p q r s t u", 4L -> "", 5L -> "short doc"))
+    val md5s = Dedup.spanScrub(df, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.foreach { case (id, t) => assert(md5s(id) == m(t), s"doc $id diverged") }
+  }
+
   /** Single-node reference BPE trainer (Sennrich-style, same tie-break:
     * freq DESC then pair lexicographic ASC) — the oracle for the
     * distributed loop, since the round-on-round recursion has no SQL. */
