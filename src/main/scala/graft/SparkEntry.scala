@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.canon.UrlCanon
-import graft.queries.{DataOpsQueries, Fixture, OracleSql, RefOpsQueries}
+import graft.queries.{CrawlOpsQueries, DataOpsQueries, Fixture, OracleSql, RefOpsQueries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-runnable oracle twin where the
@@ -67,7 +67,7 @@ object SparkEntry {
        |  FROM links GROUP BY 1, 2)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = base ++
-    RefOpsQueries.queries ++ DataOpsQueries.queries
+    RefOpsQueries.queries ++ DataOpsQueries.queries ++ CrawlOpsQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------
@@ -484,5 +484,5 @@ object SparkEntry {
 
     "c24_export_csv" ->
       """SELECT doc_id, source AS meta_source, n_chars AS meta_n_chars FROM documents"""
-  ) ++ RefOpsQueries.oracle ++ DataOpsQueries.oracle
+  ) ++ RefOpsQueries.oracle ++ DataOpsQueries.oracle ++ CrawlOpsQueries.oracle
 }

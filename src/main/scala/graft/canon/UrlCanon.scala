@@ -47,6 +47,21 @@ object UrlCanon {
     * csinsights/client/dblpclient.py:308-317). */
   def filenameOf(url: Column): Column = substring_index(url, "/", -1)
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the web-archive
+    * CDX-index sort/partition key: host labels reversed and comma-joined,
+    * then `)` and the path+query (`h3.example.com/img/1.png` →
+    * `com,example,h3)/img/1.png`). All URLs of a domain (and of its
+    * subdomains) share a SURT prefix, so a domain-range scan over a
+    * petabyte CDX index is one contiguous, partition-prunable key range
+    * instead of a scatter — which is why archive-scale indexes sort by
+    * SURT and not by raw URL. Inputs: the CANONICAL url (fragment gone,
+    * default ports stripped) and its lowercase host ([[hostOf]]); pure
+    * codegen'd builtins, shuffle-free per row. */
+  def surtKey(canonicalUrl: Column, host: Column): Column =
+    concat(
+      array_join(reverse(split(host, "\\.")), ","), lit(")"),
+      regexp_replace(canonicalUrl, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+
   /** Salted 64-bit partition key over the canonical url. The salt decouples
     * the partitioning hash from any hash used in filters, so a hot HOST
     * does not imply a hot PARTITION (north_rule: "salted-hash partitioned

@@ -1,0 +1,511 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.UrlCanon
+import graft.ops.{CrawlIndex, Sampling}
+import graft.tableio.SnapshotTable
+
+/** Crawl-infrastructure operators beyond the scheduler core: archive-grade
+  * indexing (SURT keys, CDX shard offsets), frontier hygiene (crawl-trap
+  * detection, latency-adaptive politeness), sitemap ingest, and TF-IDF
+  * term scoring. Same contract as the other query modules: every entry is
+  * value-portable and carries a DuckDB twin (integer-only arithmetic, the
+  * `DIV`/`//` pair for division, shared canon SQL).
+  */
+object CrawlOpsQueries {
+
+  /** SQL twin of [[UrlCanon.surtKey]] over (canonical, host) expressions. */
+  private def surtSql(canonical: String, host: String): String =
+    s"concat(array_to_string(list_reverse(string_split($host, '.')), ','), ')', " +
+      s"regexp_replace($canonical, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''))"
+
+  /** Session-scoped snapshot-table root for k8 (same reclamation contract
+    * as the band store: owner pid in the DIRECTORY NAME so
+    * Bench.sweepStaleStores reclaims it the moment this JVM dies). */
+  private def snapDiffPath(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sess = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
+    s"/tmp/graft-store/snapdiff_pid${ProcessHandle.current().pid()}_${tag}_$sess"
+  }
+
+  /** Latest-version state of a merge-on-read snapshot chain: per key, the
+    * highest-version row wins; tombstones delete. One map-side-combined
+    * hash agg — no window, no per-key sort. */
+  private def mergeOnRead(versions: DataFrame): DataFrame =
+    versions.groupBy(col("doc_id"))
+      .agg(expr("max_by(content, version)").as("content"),
+        expr("max_by(tombstone, version)").as("tombstone"))
+      .filter(!col("tombstone"))
+      .select(col("doc_id"), col("content"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SURT sort key (web-archive CDX convention): host labels reversed so
+    // a domain and its subdomains share one key prefix — domain-range
+    // scans over a 100 TB capture index become contiguous (partition-
+    // prunable) key ranges. The frontier is re-messed with a `www.` label
+    // on half the rows so 3- and 4-label hosts both exercise the reversal.
+    "c33_surt_key" -> ((s, dir) => {
+      val u = concat(lit("https://"),
+        when(col("seed_rank") % 2 === 0, lit("www.")).otherwise(lit("")),
+        expr("substring(url, 9)"))
+      Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(u).as("canonical_url"),
+          UrlCanon.hostOf(u).as("host"))
+        .distinct()
+        .select(col("canonical_url"),
+          UrlCanon.surtKey(col("canonical_url"), col("host")).as("surt_key"))
+    }),
+
+    // CDX shard offset index: dedup the frontier to records, assign each
+    // to a shard, sort within shard by SURT key, and compute each record's
+    // byte seek position as the running sum of preceding record lengths —
+    // one shuffle on the (writer-controlled, unskewable) shard key, and
+    // the in-partition sort is the order the shard file must be written
+    // in anyway (see [[graft.ops.CrawlIndex]]).
+    "c34_cdx_index" -> ((s, dir) => {
+      val recs = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+          UrlCanon.hostOf(col("url")).as("host"), col("seed_rank"))
+        .groupBy(col("canonical_url"), col("host"))
+        .agg(min(col("seed_rank")).as("sr"))
+        .select(col("canonical_url"),
+          UrlCanon.surtKey(col("canonical_url"), col("host")).as("surt_key"),
+          (col("sr") % 8).as("shard"),
+          (lit(120L) + length(col("canonical_url")).cast("long")).as("record_len"))
+      CrawlIndex.cdxOffsets(recs, "shard", "record_len",
+        Seq("surt_key", "canonical_url"))
+    }),
+
+    // Crawl-trap detection — the frontier-hygiene gate that stops a
+    // calendar/faceted-nav trap from eating a host's politeness budget:
+    // per-host path-depth profile, flagging hosts where >10% of observed
+    // urls sit ≥8 path segments deep. Trap urls are planted on hosts
+    // h2,h9,h16,… (hostnum % 7 = 2) as /cal/p/p/…/x.png with arithmetic
+    // depth, so ground truth is closed-form for the oracle. Row-local
+    // derivation + one host-keyed agg with map-side partials.
+    "c35_trap_detect" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("cu"),
+          UrlCanon.hostOf(col("url")).as("host"), col("seed_rank"))
+        .withColumn("hostnum", regexp_extract(col("host"), "^h([0-9]+)", 1).cast("int"))
+      val path = when(col("hostnum") % 7 === 2 && col("seed_rank") % 3 === 0,
+          concat(lit("/cal"), expr("repeat('/p', CAST(seed_rank % 12 AS INT))"), lit("/x.png")))
+        .otherwise(regexp_replace(col("cu"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+      f.select(col("host"), path.as("p"))
+        .withColumn("depth", expr("length(p) - length(replace(p, '/', ''))"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("depth")).cast("long").as("max_depth"),
+          sum(when(col("depth") >= 8, 1L).otherwise(0L)).as("n_deep"))
+        .withColumn("is_trap", col("n_deep") * 10 > col("n_urls"))
+    }),
+
+    // Latency-adaptive politeness: per host, the 4 most recent fetches
+    // (by seed_rank, via the bounded top-k aggregator — O(k) state per
+    // host, map-side partials, no per-host window sort even for a
+    // Zipf-hot host) are folded into an exponentially-weighted latency
+    // (weights 8/4/2/1, fixed-point ×1000, integer-exact) and the next
+    // crawl delay is 2× that, clamped to [100, 5000] ms.
+    "c36_adaptive_delay" -> ((s, dir) => {
+      val cand = Fixture.frontier(s, dir).select(
+        UrlCanon.hostOf(col("url")).as("host"),
+        UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
+        col("seed_rank"))
+      val recent = Sampling.topKWeighted(cand, "host", "canonical_url", "seed_rank", k = 4)
+        .withColumn("latency_ms", col("seed_rank") % 900 + 50)
+        .withColumn("w", expr("CASE rk WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END"))
+      recent.groupBy(col("host"))
+        .agg(expr("(sum(w * latency_ms) * 1000) DIV sum(w)").as("ewma_fp"))
+        .select(col("host"), col("ewma_fp"),
+          greatest(lit(100L), least(lit(5000L), expr("(ewma_fp DIV 1000) * 2"))).as("delay_ms"))
+    }),
+
+    // TF-IDF top-terms per document (the keyword/feature extraction step
+    // a training-data pipeline runs for quality filters and topic mixes).
+    // Integer idf surrogate (n_docs*1000 DIV df) keeps it cross-engine
+    // exact. Scale shape: tf is one (doc,term) agg, df reuses tf (already
+    // distinct per doc) with a term-keyed agg, the doc count is a
+    // broadcast scalar, and the per-doc top-3 is the bounded top-k
+    // aggregator — no window sort over a long document's term list.
+    "t10_tfidf" -> ((s, dir) => {
+      val docs = Fixture.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          expr("tf * ((n_docs * 1000) DIV df)").as("score_fp"))
+      Sampling.topKWeighted(scored, "doc_id", "term", "score_fp", k = 3)
+    }),
+
+    // Sitemap ingest — the other frontier seed source next to outlink
+    // extraction (c26): per-host sitemap XML (constructed deterministically
+    // in-row: sequence+transform, shuffle-free) is parsed back with
+    // codegen'd regex builtins (<url> blocks → loc/lastmod), recency-
+    // filtered, and canonicalized into frontier candidates. The oracle
+    // rebuilds the same XML and parses it with ITS OWN regex engine, so a
+    // green row proves the parse, not the fixture.
+    "s3_sitemap_ingest" -> ((s, dir) => {
+      val hosts = s.range(0, 50).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.com")).as("host"),
+        col("id"))
+      val xml = concat(lit("<urlset>"),
+        expr("""array_join(transform(sequence(0, 19), k ->
+          concat('<url><loc>https://', host, ':443/s/', CAST(k AS STRING),
+                 '.png</loc><lastmod>2024-',
+                 lpad(CAST((id + k) % 12 + 1 AS STRING), 2, '0'),
+                 '-01</lastmod></url>')), '')"""),
+        lit("</urlset>"))
+      hosts.select(col("host"), xml.as("xml"))
+        .select(col("host"),
+          explode(expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")).as("entry"))
+        .select(col("host"),
+          expr("regexp_extract(entry, '<loc>([^<]*)</loc>', 1)").as("loc"),
+          expr("regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1)").as("lastmod"))
+        .filter(col("lastmod") >= lit("2024-07-01"))
+        .select(col("host"), UrlCanon.canonicalUrl(col("loc")).as("canonical_url"),
+          col("lastmod"))
+    }),
+
+    // robots.txt PARSER (c25 is the gate; this is the step that produces
+    // its rules dimension from raw fetched robots.txt text): per-host
+    // deterministic robots.txt with a `*` section and (on 3/4 of hosts) a
+    // `graftbot` section; the parser selects the bot's own section with
+    // fallback to `*` (the real precedence rule), extracts Allow/Disallow
+    // prefixes (empty-path Disallow dropped, per the de-facto standard)
+    // and the section's Crawl-delay. Section isolation + line filtering
+    // are row-local regex/higher-order builtins — a robots file is one
+    // small string per host, so the parse never shuffles.
+    "c37_robots_parse" -> ((s, dir) => {
+      val h = s.range(0, 50).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.com")).as("host"),
+        col("id"))
+      val starRules = concat(lit("Disallow: /img/\nAllow: /img/1"),
+        when(col("id") % 7 === 1, lit("\nDisallow:")).otherwise(lit("")))
+      val txt = concat(
+        lit("User-agent: *\n"), starRules,
+        lit("\nCrawl-delay: "), (col("id") % 5 + 1).cast("string"),
+        when(col("id") % 4 =!= 0, concat(
+          lit("\n\nUser-agent: graftbot\nDisallow: /private/\nAllow: /img/\nCrawl-delay: "),
+          (col("id") % 3 + 1).cast("string"))).otherwise(lit("")))
+      val withTxt = h.select(col("host"), txt.as("txt"))
+      val gsec = regexp_extract(col("txt"), "(?s)User-agent: graftbot\\n(.*?)(\\n\\n|$)", 1)
+      val ssec = regexp_extract(col("txt"), "(?s)User-agent: \\*\\n(.*?)(\\n\\n|$)", 1)
+      withTxt
+        .withColumn("agent_used", when(gsec =!= "", lit("graftbot")).otherwise(lit("*")))
+        .withColumn("sec", when(gsec =!= "", gsec).otherwise(ssec))
+        .withColumn("crawl_delay",
+          regexp_extract(col("sec"), "Crawl-delay: ([0-9]+)", 1).cast("int"))
+        .select(col("host"), col("agent_used"), col("crawl_delay"),
+          explode(filter(split(col("sec"), "\\n"),
+            l => l.rlike("^(Allow|Disallow): .+"))).as("line"))
+        .select(col("host"), col("agent_used"),
+          regexp_extract(col("line"), "^(?:Allow|Disallow): (.*)$", 1).as("path_prefix"),
+          col("line").startsWith("Allow:").as("allowed"),
+          col("crawl_delay"))
+    }),
+
+    // Host-level link-graph rollup — the spam/mirror-detection signal a
+    // frontier scorer consumes: page edges aggregate once into a host
+    // graph (at 100 TB: trillions of page edges → millions of host rows,
+    // ONE map-side-combined shuffle), then degree and reciprocity stats
+    // are host-scale operations (the reciprocity check is a self SEMI
+    // join on the aggregated edge list, never on page edges).
+    "g4_host_graph" -> ((s, dir) => {
+      val ids = Fixture.documents(s, dir).select(col("doc_id"))
+      val e0 = ids.select((col("doc_id") % 50).as("s"), ((col("doc_id") * 3 + 1) % 50).as("d"))
+        .unionByName(ids.select((col("doc_id") % 50).as("s"), ((col("doc_id") + 17) % 50).as("d")))
+        .filter(col("s") =!= col("d"))
+      val edges = e0.groupBy(col("s"), col("d")).agg(count(lit(1)).as("n_links"))
+      val recip = edges.join(edges.select(col("d").as("s"), col("s").as("d")),
+        Seq("s", "d"), "left_semi")
+      val outd = edges.groupBy(col("s").as("hid"))
+        .agg(count(lit(1)).as("out_deg"), sum(col("n_links")).as("out_links"))
+      val ind = edges.groupBy(col("d").as("hid")).agg(count(lit(1)).as("in_deg"))
+      val rc = recip.groupBy(col("s").as("hid")).agg(count(lit(1)).as("n_recip"))
+      outd.join(ind, Seq("hid"), "full_outer").join(rc, Seq("hid"), "full_outer")
+        .select(
+          concat(lit("h"), col("hid").cast("string"), lit(".example.com")).as("host"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("out_links"), lit(0L)).as("out_links"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+    }),
+
+    // Snapshot time-travel DIFF over the merge-on-read chain — "what
+    // changed between snapshot v1 and HEAD": base state committed as
+    // version-1 rows, a delta commit (changed / tombstoned / added rows,
+    // all planted arithmetically so the oracle is closed-form) as
+    // version-2; both snapshots time-travel-read from the manifest chain
+    // and reconstructed by [[mergeOnRead]] (max_by hash agg, window-free),
+    // then classified added/deleted/changed via one full-outer join. This
+    // gives the snapshot I/O layer (S8/K1) an ORACLE-CHECKED surface, not
+    // just specs. At scale the append-only chain also supports the O(delta)
+    // shortcut (readSinceBatch) — the full-outer shape here is the general
+    // any-two-snapshots case. Commits are batchId-idempotent, so repeated
+    // invocations in one session reuse the table.
+    "k8_snapshot_diff" -> ((s, dir) => {
+      val t = new SnapshotTable(snapDiffPath(s, dir))
+      val docs = Fixture.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content"),
+        lit(1L).as("version"), lit(false).as("tombstone"))
+      val withN = docs.crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("__n"))))
+      val changed = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(concat(col("text"), lit("v2")).cast("binary")).as("content"),
+          lit(2L).as("version"), lit(false).as("tombstone"))
+      val deleted = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("content"),
+          lit(2L).as("version"), lit(true).as("tombstone"))
+      val added = withN.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + col("__n")).as("doc_id"),
+          md5(concat(col("text"), lit("new")).cast("binary")).as("content"),
+          lit(2L).as("version"), lit(false).as("tombstone"))
+      t.commit(base, batchId = 1L)
+      t.commit(changed.unionByName(deleted).unionByName(added), batchId = 2L)
+      val v1 = t.headId.map(t.chain).get.find(_.batchId == 1L).get.id
+      val s1 = mergeOnRead(t.read(s, Some(v1)).get).withColumnRenamed("content", "c1")
+      val s2 = mergeOnRead(t.read(s, None).get).withColumnRenamed("content", "c2")
+      s1.join(s2, Seq("doc_id"), "full_outer")
+        .withColumn("change", when(col("c1").isNull, lit("added"))
+          .when(col("c2").isNull, lit("deleted"))
+          .when(col("c1") =!= col("c2"), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select(col("doc_id"), col("change"), col("c2").as("content"))
+    }),
+
+    // Mergeable cardinality sketch (Apache DataSketches HLL via Spark's
+    // native hll_sketch_agg/hll_union_agg): per-host distinct-url
+    // estimates plus the global union — the frontier-metrics shape at
+    // 10^10 urls, where exact countDistinct would shuffle every url and
+    // the sketch shuffles ~KBs per host with map-side combine; sketches
+    // are register-max structures, so estimates are merge-order-
+    // independent (deterministic) and host sketches roll up to the global
+    // without touching the data again. No DuckDB twin exists for the
+    // DataSketches register layout → rows-only at the driver; value
+    // properties (≤2% error at lgK=14, union within the bound of a
+    // whole-set sketch, deterministic re-evaluation) are CrawlOpsSpec's
+    // job.
+    "a2_hll_cardinality" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir).select(
+        UrlCanon.hostOf(col("url")).as("host"),
+        UrlCanon.canonicalUrl(col("url")).as("cu"))
+      val perHost = f.groupBy(col("host")).agg(hll_sketch_agg(col("cu"), lit(14)).as("sk"))
+      perHost.select(col("host"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(perHost.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+          .select(lit("__all__").as("host"),
+            hll_sketch_estimate(col("sk")).as("est_distinct")))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "c33_surt_key" ->
+      s"""WITH ${OracleSql.frontierCte},
+         |u AS (
+         |  SELECT concat('https://',
+         |    CASE WHEN seed_rank % 2 = 0 THEN 'www.' ELSE '' END,
+         |    substring(url, 9)) AS url
+         |  FROM frontier),
+         |c AS (
+         |  SELECT DISTINCT ${OracleSql.canonSql("url")} AS canonical_url,
+         |    ${OracleSql.hostSql("url")} AS host
+         |  FROM u)
+         |SELECT canonical_url,
+         |  ${surtSql("canonical_url", "host")} AS surt_key
+         |FROM c""".stripMargin,
+
+    "c34_cdx_index" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |g AS (
+         |  SELECT canonical_url, host, min(seed_rank) AS sr
+         |  FROM cfrontier GROUP BY 1, 2),
+         |r AS (
+         |  SELECT canonical_url,
+         |    ${surtSql("canonical_url", "host")} AS surt_key,
+         |    sr % 8 AS shard,
+         |    CAST(120 + length(canonical_url) AS BIGINT) AS record_len
+         |  FROM g)
+         |SELECT canonical_url, surt_key, shard, record_len,
+         |  CAST(coalesce(sum(record_len) OVER (
+         |    PARTITION BY shard ORDER BY surt_key, canonical_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_offset
+         |FROM r""".stripMargin,
+
+    "c35_trap_detect" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |p AS (
+         |  SELECT host,
+         |    CASE WHEN CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INTEGER) % 7 = 2
+         |              AND seed_rank % 3 = 0
+         |         THEN concat('/cal', repeat('/p', CAST(seed_rank % 12 AS INTEGER)), '/x.png')
+         |         ELSE regexp_replace(canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')
+         |    END AS p
+         |  FROM cfrontier),
+         |d AS (SELECT host, length(p) - length(replace(p, '/', '')) AS depth FROM p)
+         |SELECT host, count(*) AS n_urls,
+         |  CAST(max(depth) AS BIGINT) AS max_depth,
+         |  CAST(sum(CASE WHEN depth >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep,
+         |  sum(CASE WHEN depth >= 8 THEN 1 ELSE 0 END) * 10 > count(*) AS is_trap
+         |FROM d GROUP BY host""".stripMargin,
+
+    "c36_adaptive_delay" ->
+      s"""WITH ${OracleSql.canonFrontierCte},
+         |r AS (
+         |  SELECT host, canonical_url, seed_rank,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY seed_rank DESC, canonical_url) AS rk
+         |  FROM cfrontier),
+         |recent AS (
+         |  SELECT host, seed_rank % 900 + 50 AS latency_ms,
+         |    CASE rk WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END AS w
+         |  FROM r WHERE rk <= 4),
+         |e AS (
+         |  SELECT host,
+         |    CAST((sum(w * latency_ms) * 1000) // sum(w) AS BIGINT) AS ewma_fp
+         |  FROM recent GROUP BY host)
+         |SELECT host, ewma_fp,
+         |  CAST(greatest(100, least(5000, (ewma_fp // 1000) * 2)) AS BIGINT) AS delay_ms
+         |FROM e""".stripMargin,
+
+    "t10_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM w WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT CAST(tf.doc_id AS STRING) AS doc_id, tf.term,
+        |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS score_fp
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, score_fp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fp DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, score_fp, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "s3_sitemap_ingest" ->
+      s"""WITH hosts AS (
+         |  SELECT concat('h', CAST(id AS STRING), '.example.com') AS host, id
+         |  FROM range(0, 50) t(id)),
+         |x AS (
+         |  SELECT host,
+         |    concat('<urlset>',
+         |      array_to_string(list_transform(range(0, 20), k ->
+         |        concat('<url><loc>https://', host, ':443/s/', CAST(k AS STRING),
+         |               '.png</loc><lastmod>2024-',
+         |               lpad(CAST((id + k) % 12 + 1 AS STRING), 2, '0'),
+         |               '-01</lastmod></url>')), ''),
+         |      '</urlset>') AS xml
+         |  FROM hosts),
+         |entries AS (
+         |  SELECT host, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+         |  FROM x),
+         |parsed AS (
+         |  SELECT host,
+         |    regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS loc,
+         |    regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |  FROM entries)
+         |SELECT host, ${OracleSql.canonSql("loc")} AS canonical_url, lastmod
+         |FROM parsed WHERE lastmod >= '2024-07-01'""".stripMargin,
+
+    // the oracle rebuilds the same robots.txt text and parses it with ITS
+    // OWN regex engine + list functions (chr(10) = the \n Spark writes)
+    "c37_robots_parse" ->
+      """WITH h AS (
+        |  SELECT concat('h', CAST(id AS STRING), '.example.com') AS host, id
+        |  FROM range(0, 50) t(id)),
+        |x AS (
+        |  SELECT host,
+        |    concat('User-agent: *', chr(10), 'Disallow: /img/', chr(10), 'Allow: /img/1',
+        |      CASE WHEN id % 7 = 1 THEN concat(chr(10), 'Disallow:') ELSE '' END,
+        |      chr(10), 'Crawl-delay: ', CAST(id % 5 + 1 AS STRING),
+        |      CASE WHEN id % 4 <> 0 THEN concat(chr(10), chr(10),
+        |        'User-agent: graftbot', chr(10), 'Disallow: /private/', chr(10),
+        |        'Allow: /img/', chr(10), 'Crawl-delay: ', CAST(id % 3 + 1 AS STRING))
+        |      ELSE '' END) AS txt
+        |  FROM h),
+        |sec AS (
+        |  SELECT host,
+        |    regexp_extract(txt, '(?s)User-agent: graftbot\n(.*?)(\n\n|$)', 1) AS gsec,
+        |    regexp_extract(txt, '(?s)User-agent: \*\n(.*?)(\n\n|$)', 1) AS ssec
+        |  FROM x),
+        |pick AS (
+        |  SELECT host,
+        |    CASE WHEN gsec <> '' THEN 'graftbot' ELSE '*' END AS agent_used,
+        |    CASE WHEN gsec <> '' THEN gsec ELSE ssec END AS sec
+        |  FROM sec),
+        |lines AS (
+        |  SELECT host, agent_used,
+        |    CAST(regexp_extract(sec, 'Crawl-delay: ([0-9]+)', 1) AS INTEGER) AS crawl_delay,
+        |    unnest(list_filter(string_split(sec, chr(10)),
+        |      l -> regexp_matches(l, '^(Allow|Disallow): .+'))) AS line
+        |  FROM pick)
+        |SELECT host, agent_used,
+        |  regexp_extract(line, '^(?:Allow|Disallow): (.*)$', 1) AS path_prefix,
+        |  starts_with(line, 'Allow:') AS allowed, crawl_delay
+        |FROM lines""".stripMargin,
+
+    "g4_host_graph" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id % 50 AS s, (doc_id * 3 + 1) % 50 AS d FROM ids
+        |  UNION ALL
+        |  SELECT doc_id % 50, (doc_id + 17) % 50 FROM ids),
+        |edges AS (SELECT s, d, count(*) AS n_links FROM e0 WHERE s <> d GROUP BY 1, 2),
+        |recip AS (
+        |  SELECT e.s FROM edges e
+        |  WHERE EXISTS (SELECT 1 FROM edges r WHERE r.s = e.d AND r.d = e.s)),
+        |o AS (SELECT s AS hid, count(*) AS out_deg, sum(n_links) AS out_links
+        |      FROM edges GROUP BY 1),
+        |i AS (SELECT d AS hid, count(*) AS in_deg FROM edges GROUP BY 1),
+        |rc AS (SELECT s AS hid, count(*) AS n_recip FROM recip GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(o.hid, i.hid, rc.hid) AS hid,
+        |    coalesce(out_deg, 0) AS out_deg, coalesce(out_links, 0) AS out_links,
+        |    coalesce(in_deg, 0) AS in_deg, coalesce(n_recip, 0) AS n_recip
+        |  FROM o FULL JOIN i ON o.hid = i.hid
+        |         FULL JOIN rc ON coalesce(o.hid, i.hid) = rc.hid)
+        |SELECT concat('h', CAST(hid AS STRING), '.example.com') AS host,
+        |  CAST(out_deg AS BIGINT) AS out_deg, CAST(out_links AS BIGINT) AS out_links,
+        |  CAST(in_deg AS BIGINT) AS in_deg, CAST(n_recip AS BIGINT) AS n_recip
+        |FROM j""".stripMargin,
+
+    // the oracle reconstructs BOTH snapshot states in closed form from the
+    // planted arithmetic (base = md5(text); delta: %10 changed, %17
+    // tombstoned, %23 appended past max id) and classifies the same way —
+    // green proves the time-travel reads + merge-on-read recovered exactly
+    // the states the commits encoded
+    "k8_snapshot_diff" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |s1 AS (SELECT doc_id, md5(text) AS c1 FROM documents),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS c2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + n.n, md5(text || 'new') FROM documents, n
+        |  WHERE doc_id % 23 = 0),
+        |d AS (
+        |  SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+        |    CASE WHEN s1.c1 IS NULL THEN 'added'
+        |         WHEN s2.c2 IS NULL THEN 'deleted'
+        |         WHEN s1.c1 <> s2.c2 THEN 'changed' END AS change,
+        |    s2.c2 AS content
+        |  FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id)
+        |SELECT doc_id, change, content FROM d WHERE change IS NOT NULL""".stripMargin
+  )
+}
