@@ -132,10 +132,17 @@ object CrawlOpsQueries {
     // aggregator — no window sort over a long document's term list.
     "t10_tfidf" -> ((s, dir) => {
       val docs = Fixture.documents(s, dir)
+      // PERSISTED: df derives from tf, but Catalyst has no common-subplan
+      // elimination, so without the persist the corpus is tokenized and
+      // (doc,term)-aggregated TWICE (two full scans — the dominant cost at
+      // 100 TB). CacheManager dedupes the persist call by plan, so repeated
+      // invocations share one entry; MEMORY_AND_DISK spills rather than
+      // recomputes when tf outgrows executor memory.
       val tf = docs
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
         .filter(col("term") =!= "")
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
