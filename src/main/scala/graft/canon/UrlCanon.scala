@@ -62,6 +62,18 @@ object UrlCanon {
       array_join(reverse(split(host, "\\.")), ","), lit(")"),
       regexp_replace(canonicalUrl, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
 
+  /** Bounded RFC-3986 dot-segment removal over a PATH: `/./` collapses and
+    * `/seg/../` cancels, applied as 8 fixed passes of two global regex
+    * rewrites — enough for 8 levels of nesting, beyond any real URL (the
+    * RFC algorithm is a loop; a fixed unroll keeps the whole normalizer
+    * codegen'd Column arithmetic AND bit-reproducible in the DuckDB twin,
+    * which runs the identical passes — see OracleSql.dotSegSql). Without
+    * this, `/a/./b/../c` and `/a/c` are distinct frontier keys and the
+    * seen gate re-fetches every alias. */
+  def removeDotSegments(path: Column): Column =
+    (1 to 8).foldLeft(path)((p, _) =>
+      regexp_replace(regexp_replace(p, "/\\./", "/"), "/[^/]+/\\.\\./", "/"))
+
   /** Salted 64-bit partition key over the canonical url. The salt decouples
     * the partitioning hash from any hash used in filters, so a hot HOST
     * does not imply a hot PARTITION (north_rule: "salted-hash partitioned

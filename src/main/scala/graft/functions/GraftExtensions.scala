@@ -42,6 +42,12 @@ object GraftExtensions {
       args => CuckooMightContainExpr(args.head, args(1))),
     ("resize_nn", "resize_nn(bytes, w, h) - nearest-neighbor resize, re-encoded in the same format",
       args => ResizeExpr(args.head, args(1), args(2))),
+    ("pad_image", "pad_image(bytes, packed) - uniform black letterbox border (packed t<<24|b<<16|l<<8|r), re-encoded in the same format",
+      args => PadImageExpr(args.head, args(1))),
+    ("letterbox", "letterbox(bytes) - detected uniform border widths of the decoded image, packed t<<24|b<<16|l<<8|r",
+      args => LetterboxExpr(args.head)),
+    ("crop_image", "crop_image(bytes, packed) - strip a packed (t<<24|b<<16|l<<8|r) border, re-encoded in the same format (inverse of pad_image)",
+      args => CropImageExpr(args.head, args(1))),
     ("shingles", "shingles(toks, k) - word k-gram strings from a token array",
       args => ShinglesExpr(args.head, litInt(args(1)))),
     ("minhash_buckets", "minhash_buckets(shingles, numBands, rowsPerBand) - per-band minhash LSH buckets",

@@ -450,6 +450,12 @@ object graftfns {
     Bridge.column(CuckooMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
+  def padImage(bytes: Column, packedBorders: Column): Column =
+    Bridge.column(PadImageExpr(Bridge.expression(bytes), Bridge.expression(packedBorders)))
+  def letterbox(bytes: Column): Column =
+    Bridge.column(LetterboxExpr(Bridge.expression(bytes)))
+  def cropImage(bytes: Column, packedBorders: Column): Column =
+    Bridge.column(CropImageExpr(Bridge.expression(bytes), Bridge.expression(packedBorders)))
   def shingles(toks: Column, k: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(toks), k))
   def minhashBuckets(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
@@ -519,6 +525,62 @@ case class ResizeExpr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ResizeExpr =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "resize_nn"
+}
+
+/** pad_image(bytes, packed): uniform black letterbox border around an
+  * encoded payload (borders packed t<<24|b<<16|l<<8|r), re-encoded in its
+  * own format — the synthetic twin of an aspect-letterboxing re-encoder. */
+case class PadImageExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (BINARY, INT)")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ImageCodec.padEncoded(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.imagecodec.ImageCodec.padEncoded($b, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PadImageExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "pad_image"
+}
+
+/** crop_image(bytes, packed): strip a (t<<24|b<<16|l<<8|r)-packed border off
+  * an encoded payload, re-encoded in its own format — the exact inverse of
+  * [[PadImageExpr]] (lossless codecs round-trip pixels; xjpg's quantizer is
+  * a projection), composed with [[LetterboxExpr]] for detect-then-crop. */
+case class CropImageExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (BINARY, INT)")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, p: Any): Any =
+    ImageCodec.cropEncoded(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, p) => s"graft.imagecodec.ImageCodec.cropEncoded($b, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CropImageExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "crop_image"
+}
+
+/** letterbox(bytes): detected uniform border widths of the decoded image,
+  * packed t<<24|b<<16|l<<8|r (ImageCodec.letterboxOf) — the crop-detect
+  * step a thumbnail/training pipeline runs before resizing. */
+case class LetterboxExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.letterboxOf(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.imagecodec.ImageCodec.letterboxOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): LetterboxExpr =
+    copy(child = newChild)
+  override def prettyName: String = "letterbox"
 }
 
 /** robots_verdict(canonical_url, rules): the longest-prefix robots

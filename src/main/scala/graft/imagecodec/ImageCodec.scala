@@ -299,6 +299,102 @@ object ImageCodec {
     encode(resizeNearest(px, w, h, ow, oh), ow, oh, fmt)
   }
 
+  /** Uniform letterbox pad: a `fill` border of (top, bottom, left, right)
+    * pixels around the image — the synthetic twin of the black bars a
+    * re-encoder adds when it letterboxes to a target aspect. */
+  def pad(px: Array[Byte], w: Int, h: Int,
+      t: Int, b: Int, l: Int, r: Int, fill: Byte): Array[Byte] = {
+    val ow = w + l + r
+    val oh = h + t + b
+    val out = Array.fill[Byte](ow * oh)(fill)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(px, y * w, out, (y + t) * ow + l, w)
+      y += 1
+    }
+    out
+  }
+
+  /** Borders packed as t<<24 | b<<16 | l<<8 | r (each 0..255). */
+  def packBorders(t: Int, b: Int, l: Int, r: Int): Int =
+    ((t & 0xff) << 24) | ((b & 0xff) << 16) | ((l & 0xff) << 8) | (r & 0xff)
+
+  /** pad an ENCODED payload with a black (0) letterbox border, re-encoding
+    * in the same format; `packed` = [[packBorders]]. */
+  def padEncoded(bytes: Array[Byte], packed: Int): Array[Byte] = {
+    val fmt = sniffFormat(bytes)
+    val (px, w, h) = decode(bytes)
+    val t = (packed >>> 24) & 0xff
+    val b = (packed >>> 16) & 0xff
+    val l = (packed >>> 8) & 0xff
+    val r = packed & 0xff
+    encode(pad(px, w, h, t, b, l, r, 0.toByte), w + l + r, h + t + b, fmt)
+  }
+
+  /** Crop `(top, bottom, left, right)` border pixels off an image. */
+  def crop(px: Array[Byte], w: Int, h: Int,
+      t: Int, b: Int, l: Int, r: Int): Array[Byte] = {
+    val ow = w - l - r
+    val oh = h - t - b
+    require(ow > 0 && oh > 0, s"crop $t/$b/$l/$r leaves no pixels of ${w}x$h")
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      System.arraycopy(px, (y + t) * w + l, out, y * ow, ow)
+      y += 1
+    }
+    out
+  }
+
+  /** Crop an ENCODED payload by packed borders ([[packBorders]] — usually
+    * the [[letterboxOf]] detection), re-encoding in the same format. The
+    * exact inverse of [[padEncoded]] for every codec here: the lossless
+    * formats round-trip pixels untouched, and xjpg's quantizer is a
+    * projection (encode keeps the top 5 bits, decode sets the midpoint
+    * bit, re-encode masks it back off), so crop(pad(x)) == x bit-for-bit. */
+  def cropEncoded(bytes: Array[Byte], packed: Int): Array[Byte] = {
+    if (packed == 0) return bytes
+    val fmt = sniffFormat(bytes)
+    val (px, w, h) = decode(bytes)
+    val t = (packed >>> 24) & 0xff
+    val b = (packed >>> 16) & 0xff
+    val l = (packed >>> 8) & 0xff
+    val r = packed & 0xff
+    encode(crop(px, w, h, t, b, l, r), w - l - r, h - t - b, fmt)
+  }
+
+  /** Detected uniform letterbox borders of an ENCODED payload, packed as
+    * [[packBorders]]. The border value is the top-left corner pixel (a
+    * zero-width TOP border therefore reads a non-border corner and all
+    * four counts collapse to 0 unless actual uniform runs exist — callers
+    * that pad always pad the top by ≥1). Lossy-codec-safe: xjpg quantizes
+    * per VALUE, so a uniform border stays uniform through a re-encode. */
+  def letterboxOf(bytes: Array[Byte]): Int = {
+    val (px, w, h) = decode(bytes)
+    if (w == 0 || h == 0) return 0
+    val fill = px(0)
+    def rowUniform(y: Int): Boolean = {
+      var x = 0
+      while (x < w && px(y * w + x) == fill) x += 1
+      x == w
+    }
+    var t = 0
+    while (t < h && rowUniform(t)) t += 1
+    if (t == h) return packBorders(math.min(t, 255), 0, 0, 0) // fully uniform
+    var b = 0
+    while (b < h - t && rowUniform(h - 1 - b)) b += 1
+    def colUniform(x: Int): Boolean = {
+      var y = 0
+      while (y < h && px(y * w + x) == fill) y += 1
+      y == h
+    }
+    var l = 0
+    while (l < w && colUniform(l)) l += 1
+    var r = 0
+    while (r < w - l && colUniform(w - 1 - r)) r += 1
+    packBorders(math.min(t, 255), math.min(b, 255), math.min(l, 255), math.min(r, 255))
+  }
+
   /** PSNR (dB) between two equal-size gray8 images; Double.PositiveInfinity
     * when identical. Used by the payload-invariant tests. */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {

@@ -30,6 +30,34 @@ object CrawlOpsQueries {
     s"/tmp/graft-store/snapdiff_pid${ProcessHandle.current().pid()}_${tag}_$sess"
   }
 
+  /** The k8/k9 snapshot fixture: a two-commit merge-on-read chain (batch 1
+    * = version-1 base rows; batch 2 = the planted delta: %10 changed, %17
+    * tombstoned, %23 appended past max id). batchId idempotency makes this
+    * safe to call from every consumer in any order — the first call in a
+    * session commits, the rest reuse the chain. */
+  private def ensureSnapDiffTable(s: SparkSession, dir: String): SnapshotTable = {
+    val t = new SnapshotTable(snapDiffPath(s, dir))
+    val docs = Fixture.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content"),
+      lit(1L).as("version"), lit(false).as("tombstone"))
+    val withN = docs.crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("__n"))))
+    val changed = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit("v2")).cast("binary")).as("content"),
+        lit(2L).as("version"), lit(false).as("tombstone"))
+    val deleted = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("content"),
+        lit(2L).as("version"), lit(true).as("tombstone"))
+    val added = withN.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + col("__n")).as("doc_id"),
+        md5(concat(col("text"), lit("new")).cast("binary")).as("content"),
+        lit(2L).as("version"), lit(false).as("tombstone"))
+    t.commit(base, batchId = 1L)
+    t.commit(changed.unionByName(deleted).unionByName(added), batchId = 2L)
+    t
+  }
+
   /** Latest-version state of a merge-on-read snapshot chain: per key, the
     * highest-version row wins; tombstones delete. One map-side-combined
     * hash agg — no window, no per-key sort. */
@@ -258,25 +286,7 @@ object CrawlOpsQueries {
     // any-two-snapshots case. Commits are batchId-idempotent, so repeated
     // invocations in one session reuse the table.
     "k8_snapshot_diff" -> ((s, dir) => {
-      val t = new SnapshotTable(snapDiffPath(s, dir))
-      val docs = Fixture.documents(s, dir)
-      val base = docs.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("content"),
-        lit(1L).as("version"), lit(false).as("tombstone"))
-      val withN = docs.crossJoin(broadcast(docs.agg((max("doc_id") + 1).as("__n"))))
-      val changed = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
-        .select(col("doc_id"),
-          md5(concat(col("text"), lit("v2")).cast("binary")).as("content"),
-          lit(2L).as("version"), lit(false).as("tombstone"))
-      val deleted = docs.filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id"), lit(null).cast("string").as("content"),
-          lit(2L).as("version"), lit(true).as("tombstone"))
-      val added = withN.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + col("__n")).as("doc_id"),
-          md5(concat(col("text"), lit("new")).cast("binary")).as("content"),
-          lit(2L).as("version"), lit(false).as("tombstone"))
-      t.commit(base, batchId = 1L)
-      t.commit(changed.unionByName(deleted).unionByName(added), batchId = 2L)
+      val t = ensureSnapDiffTable(s, dir)
       val v1 = t.headId.map(t.chain).get.find(_.batchId == 1L).get.id
       val s1 = mergeOnRead(t.read(s, Some(v1)).get).withColumnRenamed("content", "c1")
       val s2 = mergeOnRead(t.read(s, None).get).withColumnRenamed("content", "c2")
@@ -309,6 +319,73 @@ object CrawlOpsQueries {
         .unionByName(perHost.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
           .select(lit("__all__").as("host"),
             hll_sketch_estimate(col("sk")).as("est_distinct")))
+    }),
+
+    // Letterbox detect + crop — the per-image hygiene step a training
+    // pipeline runs before resize (black bars dilute every downstream
+    // pixel statistic): images are letterboxed with planted per-id border
+    // widths (pad_image kernel, top ≥ 1 so the corner anchors the border
+    // value), then the letterbox kernel must recover the exact widths and
+    // the crop dims from the BYTES alone. Both kernels are codegen'd and
+    // row-local — bytes never shuffle (the m1/m3 posture), and the lossy
+    // xjpg path holds because its quantizer is per-value (uniform borders
+    // stay uniform through a re-encode).
+    "m4_letterbox_crop" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      val packed = ((col("id") % 4 + 1) * 16777216L +
+        ((col("id") + 1) % 4) * 65536L +
+        ((col("id") + 2) % 4) * 256L +
+        (col("id") + 3) % 4).cast("int")
+      graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"), col("bytes"))
+        .withColumn("padded", g.padImage(col("bytes"), packed))
+        .select(col("id"),
+          g.letterbox(col("padded")).as("det"),
+          g.decodeWidth(col("padded")).as("pw"),
+          g.decodeHeight(col("padded")).as("ph"))
+        .select(col("id"),
+          expr("det DIV 16777216").as("b_top"),
+          expr("(det DIV 65536) % 256").as("b_bottom"),
+          expr("(det DIV 256) % 256").as("b_left"),
+          expr("det % 256").as("b_right"),
+          expr("CAST(pw AS BIGINT) - (det DIV 256) % 256 - det % 256").as("crop_w"),
+          expr("CAST(ph AS BIGINT) - det DIV 16777216 - (det DIV 65536) % 256").as("crop_h"))
+    }),
+
+    // RFC-3986 dot-segment normalization — without it `/a/./b/../c` and
+    // `/a/c` are distinct frontier keys and the seen gate re-fetches every
+    // alias. Five planted alias shapes (clean, `/./`, one `/../`, a nested
+    // double `/../../`, a leading `/./` + `/../`) normalize through the
+    // bounded 8-pass rewrite (UrlCanon.removeDotSegments — codegen'd
+    // Column regex, row-local, shuffle-free; the oracle runs the IDENTICAL
+    // passes).
+    "c38_dot_segments" -> ((s, dir) => {
+      val f = Fixture.frontier(s, dir)
+      val sr = col("seed_rank")
+      val fn = concat(sr.cast("string"), lit(".png"))
+      val raw = when(sr % 5 === 0, concat(lit("/img/"), fn))
+        .when(sr % 5 === 1, concat(lit("/img/./"), fn))
+        .when(sr % 5 === 2, concat(lit("/img/x/../"), fn))
+        .when(sr % 5 === 3, concat(lit("/a/b/c/../../"), fn))
+        .otherwise(concat(lit("/./a/../img/"), fn))
+      f.select(sr.as("seed_rank"), raw.as("raw_path"))
+        .withColumn("norm_path", graft.canon.UrlCanon.removeDotSegments(col("raw_path")))
+    }),
+
+    // Per-commit lineage metrics off the snapshot manifest chain (the
+    // north rule's "per-partition lineage + metrics"): each commit's row
+    // count is captured by `observe` ON the commit's own write action and
+    // recorded in its manifest — this query reads the chain back and must
+    // reproduce the planted commit sizes in closed form. Manifest walks
+    // are O(commits) driver work, never a data scan.
+    "k9_lineage_metrics" -> ((s, dir) => {
+      val t = ensureSnapDiffTable(s, dir)
+      val chain = t.headId.map(t.chain).getOrElse(Nil).sortBy(_.id)
+      val cum = chain.scanLeft(0L)(_ + _.rows).tail
+      import s.implicits._
+      chain.zip(cum).map { case (m, tot) => (m.id, m.batchId, m.rows, tot) }
+        .toDF("snapshot_id", "batch_id", "rows_added", "rows_total")
     })
   )
 
@@ -513,6 +590,59 @@ object CrawlOpsQueries {
         |         WHEN s1.c1 <> s2.c2 THEN 'changed' END AS change,
         |    s2.c2 AS content
         |  FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id)
-        |SELECT doc_id, change, content FROM d WHERE change IS NOT NULL""".stripMargin
+        |SELECT doc_id, change, content FROM d WHERE change IS NOT NULL""".stripMargin,
+
+    // closed-form planted borders + the m2-style closed-form original dims
+    // (crop must equal the pre-pad image exactly) — green proves the
+    // detect kernel recovered the pad kernel's widths from the bytes alone
+    "m4_letterbox_crop" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 50 = 49 AND doc_id >= 25 THEN doc_id - 25
+        |         ELSE doc_id END AS src
+        |  FROM documents)
+        |SELECT id,
+        |  CAST(id % 4 + 1 AS BIGINT) AS b_top,
+        |  CAST((id + 1) % 4 AS BIGINT) AS b_bottom,
+        |  CAST((id + 2) % 4 AS BIGINT) AS b_left,
+        |  CAST((id + 3) % 4 AS BIGINT) AS b_right,
+        |  CAST(CASE src % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |       ELSE 64 END AS BIGINT) AS crop_w,
+        |  CAST(CASE (src + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |       ELSE 64 END AS BIGINT) AS crop_h
+        |FROM meta""".stripMargin,
+
+    "c38_dot_segments" ->
+      s"""WITH ${OracleSql.frontierCte},
+         |raw AS (
+         |  SELECT seed_rank,
+         |    CASE seed_rank % 5
+         |      WHEN 0 THEN concat('/img/', CAST(seed_rank AS STRING), '.png')
+         |      WHEN 1 THEN concat('/img/./', CAST(seed_rank AS STRING), '.png')
+         |      WHEN 2 THEN concat('/img/x/../', CAST(seed_rank AS STRING), '.png')
+         |      WHEN 3 THEN concat('/a/b/c/../../', CAST(seed_rank AS STRING), '.png')
+         |      ELSE concat('/./a/../img/', CAST(seed_rank AS STRING), '.png')
+         |    END AS raw_path
+         |  FROM frontier)
+         |SELECT seed_rank, raw_path,
+         |  ${OracleSql.dotSegSql("raw_path")} AS norm_path
+         |FROM raw""".stripMargin,
+
+    // the observe()-captured per-commit row counts must equal the planted
+    // commit sizes: base = |documents|, delta = changed + tombstoned + added
+    "k9_lineage_metrics" ->
+      """WITH c AS (SELECT count(*) AS base FROM documents),
+        |d AS (
+        |  SELECT
+        |    (SELECT count(*) FROM documents WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 17 = 0)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 23 = 0) AS delta)
+        |SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(1 AS BIGINT) AS batch_id,
+        |  CAST(base AS BIGINT) AS rows_added, CAST(base AS BIGINT) AS rows_total
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |  CAST(delta AS BIGINT), CAST(base + delta AS BIGINT)
+        |FROM c, d""".stripMargin
   )
 }

@@ -288,6 +288,70 @@ object DataOpsQueries {
       graft.ops.Sampling.temperatureSample(survivors, "lang", "doc_id", kTotal = 50)
     }),
 
+    // The image-side corpus-build composition (e5's twin for the image
+    // payload): an as-crawled corpus — every image letterboxed by a
+    // re-encoder (pad_image, planted per-id borders) plus rotated/mirrored
+    // re-posts carrying their source's caption (the d18 orbit plant;
+    // fixture cross-format dups excluded as in d18 so ground truth is
+    // closed-form) — runs caption-presence gate → letterbox detect + crop
+    // (m4's kernels; crop is pad's exact inverse) → rotation-invariant
+    // dedup (phash_d4 at hamming 0 over the CROPPED bytes — green proves
+    // the crop restored the original pixels, else orbit equality breaks)
+    // → survivors with component size and recovered clean dims. One lazy
+    // plan, no driver round-trip; bytes never shuffle — every image kernel
+    // is row-local and only (id, sig, dims) reach the exchanges.
+    "e6_image_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      val base = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          col("bytes"), col("caption"), col("fmt"))
+        .filter(col("id") % 50 =!= 49)
+      val reposts = base.filter(col("id") % 40 === 5)
+        .select("id", "bytes", "caption")
+        .as[(Long, Array[Byte], String)]
+        .map { case (i, b, cap) =>
+          val c = graft.imagecodec.ImageCodec
+          val (px, w, h) = c.decode(b)
+          val out =
+            if (i % 80 == 5) c.encode(c.rotate90(px, w, h), h, w, "png")
+            else c.encode(c.flipHoriz(px, w, h), w, h, "png")
+          (i + n, out, cap, "png")
+        }.toDF("id", "bytes", "caption", "fmt")
+      val packed = ((col("id") % 4 + 1) * 16777216L +
+        ((col("id") + 1) % 4) * 65536L +
+        ((col("id") + 2) % 4) * 256L +
+        (col("id") + 3) % 4).cast("int")
+      val crawled = base.unionByName(reposts)
+        .filter(trim(col("caption")) =!= "") // caption gate BEFORE any decode
+        .withColumn("bytes", g.padImage(col("bytes"), packed)) // as-crawled
+      val cropped = crawled.withColumn("bytes",
+        g.cropImage(col("bytes"), g.letterbox(col("bytes"))))
+      // the sig projection is ~30 B/row (no bytes) but its lineage is the
+      // whole decode→pad→detect→crop→phash kernel chain, and three
+      // consumers need it (banding, the label join, the size agg) —
+      // persist so the per-image kernel work runs ONCE; the CC closure
+      // below is eager, so the cache is hot before the lazy joins run
+      val sigs = cropped.select(col("id"),
+        g.phashD4(col("bytes")).as("sig"),
+        g.decodeWidth(col("bytes")).cast("long").as("crop_w"),
+        g.decodeHeight(col("bytes")).cast("long").as("crop_h"),
+        col("fmt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.hammingCandidates(sigs.select("id", "sig"), "id", "sig",
+          maxHamming = 0, numBands = 8)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(pairs)
+      val labeled = sigs.join(comp, sigs("id") === comp("doc_id"), "left")
+        .select(sigs("id"), coalesce(col("component_rep"), sigs("id")).as("rep"),
+          col("crop_w"), col("crop_h"), col("fmt"))
+      val sizes = labeled.groupBy("rep").agg(count(lit(1)).as("n_members"))
+      labeled.filter(col("id") === col("rep"))
+        .join(sizes, "rep")
+        .select(col("id"), col("n_members"), col("crop_w"), col("crop_h"), col("fmt"))
+    }),
+
     // Rotation/mirror-invariant image near-dup — the re-post leg plain
     // phash (d10) misses: a rotated or flipped copy has a permuted pixel
     // grid, so its average-hash differs, but its DIHEDRAL ORBIT is the
@@ -1336,6 +1400,23 @@ object DataOpsQueries {
     // (gram STRINGS, md5-free — it keeps the text), t2's quality formula
     // over the SCRUBBED text, then s2's integer quota + hash-rank
     // selection over the survivor counts
+    // closed-form ground truth of the whole image chain: survivors = base
+    // ids (fixture dups excluded by construction) with non-empty caption
+    // (id%97<>0); a repost (id%40=5) shares its source's caption so the
+    // pair is present-or-absent together and the smaller source id always
+    // wins → n_members=2 exactly there; crop dims = the PRE-PAD planted
+    // dims (green proves detect+crop recovered them from bytes alone)
+    "e6_image_corpus" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 40 = 5 THEN 2 ELSE 1 END AS BIGINT) AS n_members,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |       ELSE 64 END AS BIGINT) AS crop_w,
+        |  CAST(CASE (doc_id + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32
+        |       ELSE 64 END AS BIGINT) AS crop_h,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS fmt
+        |FROM documents
+        |WHERE doc_id % 50 <> 49 AND doc_id % 97 <> 0""".stripMargin,
+
     "e5_clean_corpus" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -39,6 +39,14 @@ object OracleSql {
   def hostSql(u: String): String =
     s"lower(regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:#?]*)', 1))"
 
+  /** SQL twin of UrlCanon.removeDotSegments: the SAME 8 unrolled passes of
+    * the two global rewrites (DuckDB needs the explicit 'g' flag Spark
+    * applies implicitly; both engines scan leftmost and continue after
+    * each replacement, so pass-for-pass results are identical). */
+  def dotSegSql(p: String): String =
+    (1 to 8).foldLeft(p)((q, _) =>
+      s"regexp_replace(regexp_replace($q, '/\\./', '/', 'g'), '/[^/]+/\\.\\./', '/', 'g')")
+
   /** canonical frontier + seen CTEs (seen = even-orderkey half). */
   val canonFrontierCte: String =
     s"""$frontierCte,

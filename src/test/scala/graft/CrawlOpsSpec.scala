@@ -241,4 +241,59 @@ class CrawlOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("host") -> r.getAs[Long]("est_distinct")).toMap
     assert(again == est)
   }
+
+  test("letterbox kernel: pad→detect round-trips exact widths, all formats") {
+    import graft.imagecodec.ImageCodec
+    val w = 16; val h = 12
+    val px = ImageCodec.syntheticPixels(0xbeefL, w, h)
+    for (fmt <- Seq("bmp", "png", "xjpg")) {
+      val enc = ImageCodec.encode(px, w, h, fmt)
+      // zero-border image: nothing detected (noise rows are not uniform)
+      assert(ImageCodec.letterboxOf(enc) == 0, fmt)
+      for ((t, b, l, r) <- Seq((1, 0, 0, 0), (3, 2, 1, 0), (2, 2, 4, 4))) {
+        val packed = ImageCodec.packBorders(t, b, l, r)
+        val padded = ImageCodec.padEncoded(enc, packed)
+        assert(ImageCodec.letterboxOf(padded) == packed, s"$fmt $t/$b/$l/$r")
+        // crop dims recoverable: padded dims minus detected borders
+        val (pw, ph) = ImageCodec.decodeDims(padded)
+        assert(pw - l - r == w && ph - t - b == h, fmt)
+        // crop is the exact inverse of pad — bit-for-bit, even for the
+        // lossy codec (its quantizer is a projection)
+        assert(java.util.Arrays.equals(
+          ImageCodec.cropEncoded(padded, ImageCodec.letterboxOf(padded)), enc),
+          s"$fmt $t/$b/$l/$r crop!=original")
+      }
+    }
+  }
+
+  test("dot-segment removal: hand cases + idempotence") {
+    import spark.implicits._
+    val in = Seq(
+      "/a/./b/../c.png",
+      "/a/b/c/../../x.png",
+      "/./a/../img/9.png",
+      "/img/plain.png",
+      "/a/././b/../../c/d.png").toDF("p")
+    val got = in.select(UrlCanon.removeDotSegments(col("p")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/a/c.png", "/a/x.png", "/img/9.png", "/img/plain.png", "/c/d.png"))
+    // normalizing an already-normal path is the identity
+    val twice = in.select(UrlCanon.removeDotSegments(
+      UrlCanon.removeDotSegments(col("p"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == got)
+  }
+
+  test("lineage metrics reproduce the planted commit sizes") {
+    val rows = CrawlOpsQueries.queries("k9_lineage_metrics")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("snapshot_id"))
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val base = ids.length.toLong
+    val delta = ids.count(i => i % 10 == 0 && i % 17 != 0) +
+      ids.count(_ % 17 == 0) + ids.count(_ % 23 == 0)
+    assert(rows.map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("rows_added"),
+      r.getAs[Long]("rows_total"))).toSeq ==
+      Seq((1L, base, base), (2L, delta.toLong, base + delta)))
+  }
 }

@@ -46,9 +46,11 @@ class ExportSpec extends SparkSpec {
     graft.functions.GraftExtensions.register(s2)
     graft.model.Synth.imageDocs(s2, 10, 1).toDF().createOrReplaceTempView("image_docs")
     val row = s2.sql(
-      """SELECT image_id, phash(bytes) AS p, decode_width(bytes) AS w,
+      s"""SELECT image_id, phash(bytes) AS p, decode_width(bytes) AS w,
         |  sniff_format(bytes) AS f, psnr(bytes, bytes) AS snr,
-        |  decode_width(resize_nn(bytes, 8, 8)) AS rw, phash_d4(bytes) AS pd
+        |  decode_width(resize_nn(bytes, 8, 8)) AS rw, phash_d4(bytes) AS pd,
+        |  letterbox(pad_image(bytes, ${graft.imagecodec.ImageCodec.packBorders(1, 2, 3, 4)})) AS lb,
+        |  decode_width(crop_image(pad_image(bytes, ${graft.imagecodec.ImageCodec.packBorders(1, 2, 3, 4)}), letterbox(pad_image(bytes, ${graft.imagecodec.ImageCodec.packBorders(1, 2, 3, 4)})))) AS cw
         |FROM image_docs WHERE image_id = 'img00000003'""".stripMargin).head()
     assert(row.getAs[Long]("pd") ==
       graft.imagecodec.ImageCodec.phashD4OfEncoded(
@@ -57,6 +59,8 @@ class ExportSpec extends SparkSpec {
     assert(row.getAs[String]("f") == graft.model.Synth.fmtOf(3))
     assert(row.getAs[Double]("snr").isPosInfinity)
     assert(row.getAs[Int]("rw") == 8)
+    assert(row.getAs[Int]("lb") == graft.imagecodec.ImageCodec.packBorders(1, 2, 3, 4))
+    assert(row.getAs[Int]("cw") == graft.model.Synth.wOf(3))
     // signature/similarity kernels are SQL-callable too
     val sig = s2.sql(
       """SELECT shingles(split('a b c d', ' '), 3) AS sh,

@@ -694,4 +694,22 @@ class OpsSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("Window"),
       "weighted top-k must not plan a window sort")
   }
+
+  test("e6 image-corpus chain recovers the planted ground truth end to end") {
+    val dir = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val got = graft.queries.DataOpsQueries.queries("e6_image_corpus")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("crop_w"), r.getAs[Long]("crop_h"), r.getAs[String]("fmt")))
+      .toSet
+    val expect = (0L until n)
+      .filter(i => i % 50 != 49 && i % 97 != 0) // fixture dups out; caption gate
+      .map { i =>
+        val s = graft.model.Synth
+        (i, if (i % 40 == 5) 2L else 1L, s.wOf(i).toLong, s.hOf(i).toLong, s.fmtOf(i))
+      }.toSet
+    assert(got == expect,
+      s"e6 diverged: extra=${(got diff expect).take(3)} missing=${(expect diff got).take(3)}")
+  }
 }
