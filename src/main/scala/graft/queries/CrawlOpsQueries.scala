@@ -24,19 +24,26 @@ object CrawlOpsQueries {
   /** Session-scoped snapshot-table root for k8 (same reclamation contract
     * as the band store: owner pid in the DIRECTORY NAME so
     * Bench.sweepStaleStores reclaims it the moment this JVM dies). */
-  private def snapDiffPath(s: SparkSession, dir: String): String = {
+  /** Session-scoped pid-owned store root (the band-store reclamation
+    * contract: owner pid in the directory name so Bench.sweepStaleStores
+    * reclaims it the moment this JVM dies). */
+  private def storePath(s: SparkSession, dir: String, kind: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sess = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
-    s"/tmp/graft-store/snapdiff_pid${ProcessHandle.current().pid()}_${tag}_$sess"
+    s"/tmp/graft-store/${kind}_pid${ProcessHandle.current().pid()}_${tag}_$sess"
   }
+
+  private def snapDiffPath(s: SparkSession, dir: String, suffix: String = ""): String =
+    storePath(s, dir, "snapdiff") + suffix
 
   /** The k8/k9 snapshot fixture: a two-commit merge-on-read chain (batch 1
     * = version-1 base rows; batch 2 = the planted delta: %10 changed, %17
     * tombstoned, %23 appended past max id). batchId idempotency makes this
     * safe to call from every consumer in any order — the first call in a
     * session commits, the rest reuse the chain. */
-  private def ensureSnapDiffTable(s: SparkSession, dir: String): SnapshotTable = {
-    val t = new SnapshotTable(snapDiffPath(s, dir))
+  private def ensureSnapDiffTable(s: SparkSession, dir: String,
+      suffix: String = ""): SnapshotTable = {
+    val t = new SnapshotTable(snapDiffPath(s, dir, suffix))
     val docs = Fixture.documents(s, dir)
     val base = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("content"),
@@ -321,6 +328,41 @@ object CrawlOpsQueries {
             hll_sketch_estimate(col("sk")).as("est_distinct")))
     }),
 
+    // Incremental cardinality-sketch maintenance — the eighth maintenance
+    // leg (seen shards, band index, cluster labels, quantiles, IVF lists,
+    // snapshot chain, compaction — and now the frontier-metrics sketches):
+    // the corpus arrives in TWO crawl batches; each batch is sketched
+    // per-host (O(batch) scan) and FOLDED into the stored register table
+    // with hll_union_agg (O(hosts) rows — KBs — never a corpus re-scan).
+    // DataSketches HLL union is register-wise max, so fold order cannot
+    // change the registers: the batched fold lands on exactly the one-shot
+    // a2 estimates per host (CrawlOpsSpec asserts full per-host equality;
+    // the global rollup — a union of union outputs — estimates through the
+    // composite path and may round a fraction of a percent off a2's
+    // single-level union). Output schema = a2's, rows-only at the driver
+    // like a2 (no DuckDB twin for the register layout).
+    "a3_hll_update" -> ((s, dir) => {
+      val path = storePath(s, dir, "hllreg")
+      val f = Fixture.frontier(s, dir).select(
+        UrlCanon.hostOf(col("url")).as("host"),
+        UrlCanon.canonicalUrl(col("url")).as("cu"),
+        col("seed_rank"))
+      for (k <- 0 until 2) {
+        val batch = f.filter(col("seed_rank") % 2 === k)
+          .groupBy(col("host")).agg(hll_sketch_agg(col("cu"), lit(14)).as("sk"))
+        val merged =
+          if (k == 0) batch
+          else s.read.parquet(s"${path}_v0").unionByName(batch)
+            .groupBy(col("host")).agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        merged.write.mode("overwrite").parquet(s"${path}_v$k")
+      }
+      val perHost = s.read.parquet(s"${path}_v1")
+      perHost.select(col("host"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(perHost.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+          .select(lit("__all__").as("host"),
+            hll_sketch_estimate(col("sk")).as("est_distinct")))
+    }),
+
     // Letterbox detect + crop — the per-image hygiene step a training
     // pipeline runs before resize (black bars dilute every downstream
     // pixel statistic): images are letterboxed with planted per-id border
@@ -379,6 +421,29 @@ object CrawlOpsQueries {
     // recorded in its manifest — this query reads the chain back and must
     // reproduce the planted commit sizes in closed form. Manifest walks
     // are O(commits) driver work, never a data scan.
+    // Snapshot compaction (Iceberg rewrite_data_files + expire_snapshots):
+    // the k8 merge-on-read chain is materialized ONCE into a single rebase
+    // snapshot (parent −1, version collapsed, tombstones dropped) and HEAD
+    // swapped to it — a k-commit chain costs every reader k file sets per
+    // scan, the compacted table exactly one; old snapshots stay
+    // time-travel-readable until expireSnapshots reclaims them as an
+    // orphaned branch. The RESULT reads the compacted table straight off
+    // HEAD with no merge agg (that being the point) — green proves the
+    // rewrite preserved the exact MOR state the chain encoded. A dedicated
+    // "_k10" table keeps the shared k8/k9 fixture chain intact, and the
+    // compaction's own batchId makes re-invocation a no-op.
+    "k10_snapshot_compact" -> ((s, dir) => {
+      val t = ensureSnapDiffTable(s, dir, "_k10")
+      val compacted = t.read(s, None).get
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(content, version)").as("content"),
+          max(col("version")).as("version"),
+          expr("max_by(tombstone, version)").as("tombstone"))
+        .filter(!col("tombstone"))
+      t.compact(compacted, batchId = 3L)
+      t.read(s, None).get.select(col("doc_id"), col("content"))
+    }),
+
     "k9_lineage_metrics" -> ((s, dir) => {
       val t = ensureSnapDiffTable(s, dir)
       val chain = t.headId.map(t.chain).getOrElse(Nil).sortBy(_.id)
@@ -627,6 +692,17 @@ object CrawlOpsQueries {
          |SELECT seed_rank, raw_path,
          |  ${OracleSql.dotSegSql("raw_path")} AS norm_path
          |FROM raw""".stripMargin,
+
+    // the compacted single-snapshot read must equal the closed-form MOR
+    // state the two-commit chain encoded (k8's s2 CTE verbatim)
+    "k10_snapshot_compact" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS content
+        |FROM documents WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id + n.n, md5(text || 'new') FROM documents, n
+        |WHERE doc_id % 23 = 0""".stripMargin,
 
     // the observe()-captured per-commit row counts must equal the planted
     // commit sizes: base = |documents|, delta = changed + tombstoned + added

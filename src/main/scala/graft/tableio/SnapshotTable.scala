@@ -132,7 +132,27 @@ final class SnapshotTable(val root: String) {
     * is captured with `observe` on the same write action (no extra job)
     * and recorded in the manifest — the north rule's per-commit lineage
     * metrics. */
-  def commit(df: DataFrame, batchId: Long = -1L): Long = synchronized {
+  def commit(df: DataFrame, batchId: Long = -1L): Long =
+    writeSnapshot(df, batchId, parentOf = _.getOrElse(-1L))
+
+  /** Compact the table: write `df` (the caller's materialized current
+    * state — e.g. the merge-on-read latest-version rows with tombstones
+    * dropped) as ONE new snapshot whose parent is −1, i.e. a REBASE that
+    * cuts the chain. Iceberg's `rewrite_data_files` analog: a k-commit
+    * chain costs a reader k file sets per scan; after compaction, one.
+    * Old snapshots stay readable by explicit time travel (`read(asOf)`
+    * walks their own manifest chain) until [[expireSnapshots]] reclaims
+    * them as an orphaned branch — exactly Iceberg's rewrite-then-expire
+    * contract. `batchId` should be the highest batch folded in, keeping
+    * [[readSinceBatch]] conservative: a heal asking for deltas past an
+    * already-compacted batch sees nothing extra; one asking from before
+    * the horizon reads the (complete) rebased state instead of a
+    * no-longer-reachable delta. */
+  def compact(df: DataFrame, batchId: Long): Long =
+    writeSnapshot(df, batchId, parentOf = _ => -1L)
+
+  private def writeSnapshot(df: DataFrame, batchId: Long,
+      parentOf: Option[Long] => Long): Long = synchronized {
     val head = headId
     if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
     val id = head.map(_ + 1).getOrElse(0L)
@@ -151,7 +171,7 @@ final class SnapshotTable(val root: String) {
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => rootP.relativize(p).toString).toSeq.sorted
-    val m = Manifest(id, head.getOrElse(-1L), batchId, files, rows)
+    val m = Manifest(id, parentOf(head), batchId, files, rows)
     writeAtomic(snapP.resolve(s"snapshot-$id.json"), renderManifest(m))
     // keep the parse memo coherent: a HEAD rollback (crash healing) makes
     // the next commit REUSE the orphaned id with a fresh file list — the

@@ -106,4 +106,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readSinceBatch(spark, -1).get.count() == 3)
     assert(t.readSinceBatch(spark, 2).isEmpty, "current store needs no delta")
   }
+
+  test("compact rebases the chain to one snapshot; time travel + expire follow Iceberg") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), batchId = 0)
+    t.commit(Seq((2, "b2"), (3, "c")).toDF("id", "v"), batchId = 1) // v2 of 2, new 3
+    val preHead = t.headId.get
+    // caller materializes the current state (here: latest v per id)
+    val state = t.read(spark).get.groupBy("id")
+      .agg(org.apache.spark.sql.functions.expr("max_by(v, v)").as("v"))
+    val cid = t.compact(state, batchId = 1L + 1)
+    // ONE snapshot chain, ONE file set — the read-amplification point
+    assert(t.chain(t.headId.get).map(_.id) == Seq(cid))
+    assert(t.liveFiles() == t.manifest(cid).files)
+    assert(t.read(spark).get.as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b2"), (3, "c")))
+    // pre-compaction snapshots stay time-travel-readable until expire
+    assert(t.read(spark, Some(preHead)).get.count() == 4) // raw chain rows
+    // readSinceBatch conservative: before the horizon → full rebased state;
+    // at/after the horizon → nothing
+    assert(t.readSinceBatch(spark, 0).get.count() == 3)
+    assert(t.readSinceBatch(spark, 2).isEmpty)
+    // compaction is batchId-idempotent like any commit
+    assert(t.compact(state, batchId = 2L) == cid)
+    // expire reclaims the orphaned pre-compaction branch and its files
+    t.expireSnapshots()
+    assert(scala.util.Try(t.read(spark, Some(preHead)).map(_.count())).isFailure,
+      "expired snapshot must no longer resolve")
+    assert(t.read(spark).get.count() == 3, "live chain untouched by expire")
+  }
 }
