@@ -311,6 +311,142 @@ object LinkGraph {
       pagerankDfLoop(e, iterations, scale, dampNum, dampDen, base, reliable)
   }
 
+  /** Normalized long (src, dst) edges, nulls dropped, deduped — the shared
+    * prep of [[pagerank]], [[pagerankHistory]] and [[updatePagerank]]. */
+  private def prepEdges(edges: DataFrame): DataFrame = edges
+    .filter(col("src").isNotNull && col("dst").isNotNull)
+    .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    .distinct()
+
+  /** [[pagerank]] keeping EVERY iteration's rank table — the stored
+    * artifact that makes incremental maintenance possible: returns
+    * r₀..r_iterations as (node, rank_fp) frames, each lineage-truncated
+    * and materialized (an update re-reads arbitrary levels; a lazy chain
+    * would re-run the whole loop per level). r_iterations is exactly what
+    * [[pagerank]] returns for the same edges; the prefix levels are what
+    * [[updatePagerank]]'s dirty-frontier re-walk merges against. Always
+    * the DataFrame engine: history is a MAINTENANCE artifact — it exists
+    * for the 10^10-edge stored-graph posture, where the DF loop is the
+    * dispatch target anyway. */
+  def pagerankHistory(edges: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000L, dampNum: Long = 85,
+      dampDen: Long = 100): Seq[DataFrame] = {
+    require(iterations >= 1 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val base = (dampDen - dampNum) * scale / dampDen
+    val e = truncateDf(prepEdges(edges), reliable)
+    e.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val adj = e.join(deg, "src")
+    val nodes = truncateDf(
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+        .distinct(), reliable)
+    var ranks = truncateDf(nodes.select(col("node"), lit(scale).as("rank_fp")), reliable)
+    ranks.count()
+    val hist = scala.collection.mutable.ArrayBuffer(ranks)
+    var i = 0
+    while (i < iterations) {
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(adj("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__c"))
+      ranks = truncateDf(nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
+            .as("rank_fp")), reliable)
+      ranks.count() // materialize each level — updates read them at random
+      hist += ranks
+      i += 1
+    }
+    hist.toSeq
+  }
+
+  /** Fold a crawl batch's NEWLY DISCOVERED link edges into a stored
+    * PageRank — the link-importance leg of the engine's incremental-
+    * maintenance set (seen: CuckooSeen.insert; ANN: Ivf.appendToIndex;
+    * band index: BandStore.append; labels: Dedup.updateComponents;
+    * redirects: updateRedirects; quantiles: k7; THIS). A full re-rank per
+    * batch is `iterations` passes over ALL edges ever crawled; here every
+    * iteration recomputes ONLY the dirty frontier — the nodes whose rank
+    * the batch can actually change — and serves everything else from the
+    * stored per-iteration history ([[pagerankHistory]] over `oldEdges`).
+    *
+    * Dirty-frontier induction (exactness, not approximation): at level i
+    * a node's rank differs from stored iff some in-edge contribution
+    * differs, i.e. some in-neighbor u has a changed rank at i−1 (dirty),
+    * a changed out-degree (u ∈ batch srcs — deg'(u) > deg(u) even when
+    * its rank is unchanged), or the edge itself is new (its src is a
+    * batch src, so that case folds in). So
+    *   srcDirty_i = dirty_{i−1} ∪ batchSrcs
+    *   dirty_i    = dst(fullEdges ⋉ srcDirty_i) ∪ newNodes
+    * and the recompute joins the stored level i−1 (patched with the
+    * previous round's recomputed rows) against ONLY the in-edges of
+    * dirty_i. Nodes outside every dirty set pass through from stored —
+    * identical by induction, asserted row-equal vs a full re-rank in
+    * LinkGraphSpec and the g5 oracle. On a web graph a batch's frontier
+    * grows with its out-neighborhoods but is capped by the graph itself;
+    * with dst-partitioned edge storage the in-edge semi joins are
+    * partition-pruned index probes, never corpus scans.
+    *
+    * `history` must be [[pagerankHistory]] of `oldEdges` with the same
+    * (scale, dampNum, dampDen); iterations = history.length − 1. Batch
+    * edges already present in `oldEdges` are ignored (re-discovered
+    * links are a no-op, matching CuckooSeen.insert's semantics). */
+  def updatePagerank(oldEdges: DataFrame, history: Seq[DataFrame],
+      newEdges: DataFrame, scale: Long = 1000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(history.nonEmpty, "history must hold at least r0 — run pagerankHistory first")
+    val spark = oldEdges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val base = (dampDen - dampNum) * scale / dampDen
+    val oldE = prepEdges(oldEdges)
+    val ne = truncateDf(prepEdges(newEdges)
+      .join(oldE, Seq("src", "dst"), "left_anti"), reliable)
+    if (ne.limit(1).count() == 0L) return history.last
+
+    val full = truncateDf(oldE.unionByName(ne), reliable) // disjoint by the anti join
+    // deg' — conceptually storedDeg + per-src batch deltas; the groupBy
+    // here re-derives it because deg is cheap relative to the in-edge
+    // probes, and a store-backed caller would pass its maintained copy
+    val deg = full.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val oldNodes = oldE.select(col("src").as("node"))
+      .unionByName(oldE.select(col("dst").as("node"))).distinct()
+    val newNodes = truncateDf(
+      ne.select(col("src").as("node")).unionByName(ne.select(col("dst").as("node")))
+        .distinct().join(oldNodes, Seq("node"), "left_anti"), reliable)
+    val batchSrcs = ne.select(col("src")).distinct()
+
+    var dirty = newNodes                                       // D₀
+    var recomputed = newNodes.select(col("node"), lit(scale).as("rank_fp"))
+    var i = 1
+    while (i < history.length) {
+      // r'_{i−1}: stored level patched with the dirty recomputes
+      val merged = history(i - 1).join(dirty, Seq("node"), "left_anti")
+        .unionByName(recomputed)
+      val srcDirty = dirty.select(col("node").as("src"))
+        .unionByName(batchSrcs).distinct()
+      val nextDirty = truncateDf(
+        full.join(srcDirty, Seq("src"), "left_semi")
+          .select(col("dst").as("node"))
+          .unionByName(newNodes).distinct(), reliable)
+      // in-edges of the dirty set only — the probe a dst-partitioned
+      // edge store answers with partition pruning
+      val inE = full.join(nextDirty.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val contribs = inE.join(deg, "src")
+        .join(merged.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__c"))
+      recomputed = truncateDf(nextDirty.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
+            .as("rank_fp")), reliable)
+      recomputed.count() // materialize — next round's merge re-reads it
+      dirty = nextDirty
+      i += 1
+    }
+    history.last.join(dirty, Seq("node"), "left_anti").unionByName(recomputed)
+  }
+
   private def pagerankRddLoop(e: DataFrame, edgeCount: Long, iterations: Int,
       scale: Long, dampNum: Long, dampDen: Long, base: Long,
       reliable: Boolean): DataFrame = {

@@ -1212,6 +1212,140 @@ object DataOpsQueries {
       stored.unionByName(appended)
         .withColumn("shard_id", expr("start_offset DIV 2000"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"))
+    }),
+
+    // Incremental PageRank maintenance — the eighth incremental-
+    // maintenance leg (seen / ANN / band / labels / redirects / shards /
+    // quantiles / THIS): a crawl batch's newly discovered links fold into
+    // a STORED per-iteration rank history; every iteration recomputes
+    // only the dirty frontier (nodes the batch can actually change — see
+    // LinkGraph.updatePagerank's induction), untouched nodes pass through
+    // from the stored level. Oracle = the one-shot fixed-point PageRank
+    // over the FULL edge set (g2's oracle): green proves update ≡ full
+    // re-rank exactly, including new nodes the batch introduces and
+    // out-degree changes at stored nodes.
+    "g5_pagerank_update" -> ((s, dir) => {
+      val edges = Fixture.linkEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val b1 = edges.filter(xxhash64(col("src"), col("dst")) % 3 =!= 0)
+        val b2 = edges.filter(xxhash64(col("src"), col("dst")) % 3 === 0)
+        val hist = graft.ops.LinkGraph.pagerankHistory(b1, iterations = 3)
+        graft.ops.LinkGraph.updatePagerank(b1, hist, b2)
+      } finally { edges.unpersist(); () }
+    }),
+
+    // CCNet-style n-gram LM quality scoring — train a bigram model with
+    // add-one smoothing on the 80% doc_id split, score the held-out 20%
+    // by smoothed bigram probability mass. The probability is the
+    // FIXED-POINT integer surrogate ((c12+1)·10⁶) DIV (c1+V) — the t10
+    // idf-surrogate trick: no log/float, so the doc scores are
+    // hash-identical cross-engine while ordering docs exactly like the
+    // float add-one model would (per-bigram monotone). Scale shape: the
+    // model is ONE (w1,w2) count agg (map-side partials; persisted —
+    // both the w1-history counts and the vocab scalar derive from it,
+    // not from a corpus re-scan), scoring is two shuffle joins keyed on
+    // the bigram/history (the model table is corpus-sized aggregate,
+    // NOT broadcast-able at 10^10 — the joins co-partition), and the
+    // per-doc fold is one map-side-partial agg.
+    "t11_perplexity" -> ((s, dir) => {
+      val bg = Fixture.documents(s, dir)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val train = bg.filter(col("doc_id") % 5 =!= 0)
+      val test = bg.filter(col("doc_id") % 5 === 0)
+      // PERSISTED like t10's tf: the history counts and the vocab scalar
+      // both derive from the model agg — without the cache each fork
+      // re-tokenizes and re-aggregates the train split. CacheManager
+      // dedupes the persist by plan across invocations.
+      val model = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = model.select(col("w1").as("w"))
+        .unionByName(model.select(col("w2").as("w")))
+        .agg(countDistinct(col("w")).as("v"))
+      test
+        .join(model, Seq("w1", "w2"), "left")
+        .join(hist, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), expr(
+          "((coalesce(c12, 0L) + 1) * 1000000) DIV (coalesce(c1, 0L) + v)").as("p_fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("mass_fp"))
+        .withColumn("avg_fp", expr("mass_fp DIV n_bigrams"))
+    }),
+
+    // Token-budget corpus mixture — the multi-source sampling step that
+    // fills a training mix to per-source TOKEN quotas (weights × budget),
+    // taking each source's docs in deterministic id-hash order until its
+    // quota is reached. The per-source running token count is the
+    // GROUPED distributed prefix sum (Scheduler.groupedPrefixSum): one
+    // corpus shuffle over the (source, hash) total order — a
+    // `sum over (partition by source order by hash)` window would put
+    // each whole source in ONE task, the hot-source trap s1 exists to
+    // kill. Weights/quotas are a #sources-row broadcast dim.
+    "s4_mixture_sample" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val w = d.select(col("source")).distinct()
+        .withColumn("__w", graft.ops.CrossHash.md5Hash60(col("source")) % 5 + 1)
+      val sw = w.agg(sum(col("__w")).as("__sw"))
+      val quotas = w.crossJoin(broadcast(sw))
+        .withColumn("quota_tokens", expr("(20000 * __w) DIV __sw"))
+        .select(col("source"), col("quota_tokens"))
+      graft.sched.Scheduler.groupedPrefixSum(
+          d.withColumn("__h", graft.ops.Sampling.idHash(col("doc_id"))),
+          "source", Seq(col("__h"), col("doc_id")), col("n_tokens"), "cum_before")
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("cum_before") < col("quota_tokens"))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"), col("quota_tokens"))
+    }),
+
+    // Aspect-ratio bucketing + pixel-budget batch packing — the image-
+    // trainer delivery step (SDXL-style resolution buckets; batches must
+    // hold same-resolution images within a pixel budget): dimensions come
+    // from DECODING the real payload header (decode_width/height — the
+    // oracle reconstructs them arithmetically from the planted fixture),
+    // packing is the grouped prefix sum per resolution bucket DIV the
+    // batch pixel budget — k5's shard packing, per bucket, without the
+    // per-bucket window sort.
+    "m5_ar_bucket_pack" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val imgs = graft.model.Synth.imageDocs(s, n, 32).toDF()
+        .select(substring(col("image_id"), 4, 8).cast("long").as("id"),
+          graft.functions.graftfns.decodeWidth(col("bytes")).as("w"),
+          graft.functions.graftfns.decodeHeight(col("bytes")).as("h"))
+        .withColumn("bucket",
+          concat(col("w").cast("string"), lit("x"), col("h").cast("string")))
+        .withColumn("pixels", expr("CAST(w AS BIGINT) * h"))
+        .select(col("id"), col("bucket"), col("pixels"))
+      graft.sched.Scheduler.groupedPrefixSum(
+          imgs, "bucket", Seq(col("id")), col("pixels"), "px_before")
+        .withColumn("batch_no", expr("px_before DIV 16384"))
+        .select(col("id"), col("bucket"), col("pixels"),
+          col("px_before"), col("batch_no"))
+    }),
+
+    // Deterministic epoch shuffle — the training-order step: a seeded
+    // cross-engine hash of (doc_id, epoch) defines a full permutation of
+    // the corpus, ranked WITHOUT the single-task global window
+    // (Scheduler.globalRank's two-pass shape), then dealt round-robin
+    // into 16 balanced shards. Re-running the same epoch is bit-stable
+    // (resume-safe); the next epoch is a fresh permutation by
+    // construction. The rank hash is the repo-standard md5-prefix, so
+    // the oracle reproduces the exact order.
+    "k11_epoch_shuffle" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("doc_id"))
+        .withColumn("__h", graft.ops.CrossHash.md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":7"))))
+      graft.sched.Scheduler.globalRank(d, Seq(col("__h"), col("doc_id")), "rk")
+        .withColumn("shard", expr("(rk - 1) % 16"))
+        .select(col("doc_id"), col("rk"), col("shard"))
     })
   )
 
@@ -2097,7 +2231,108 @@ object DataOpsQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 2000 AS shard_id
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // update ≡ full re-rank: the SAME one-shot fixed-point PageRank SQL
+    // as g2 — green proves the dirty-frontier maintenance loses nothing
+    "g5_pagerank_update" -> pagerankOracleSql(iterations = 3),
+
+    // the float-free add-one bigram model, re-derived end to end by the
+    // oracle: same tokenization (d17's), same 80/20 doc_id split, same
+    // fixed-point surrogate ((c12+1)·10⁶ DIV (c1+V))
+    "t11_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |tr AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg
+        |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT w1 AS w FROM tr UNION ALL SELECT w2 FROM tr)),
+        |te AS (
+        |  SELECT b.doc_id,
+        |    ((COALESCE(tr.c12, 0) + 1) * 1000000)
+        |      // (COALESCE(hist.c1, 0) + (SELECT v FROM v)) AS p_fp
+        |  FROM bg b
+        |  LEFT JOIN tr ON b.w1 = tr.w1 AND b.w2 = tr.w2
+        |  LEFT JOIN hist ON b.w1 = hist.w1
+        |  WHERE b.doc_id % 5 = 0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_fp) AS BIGINT) AS mass_fp,
+        |  CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS avg_fp
+        |FROM te GROUP BY doc_id""".stripMargin,
+
+    // per-source single-window cumsum in id-hash order — the form the
+    // grouped two-pass prefix sum must reproduce bit-identically; same
+    // md5-prefix hash for the order and the source weights
+    "s4_mixture_sample" ->
+      s"""WITH d AS (
+        |  SELECT source, doc_id, CAST(${TextOracle.nTokensSql} AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |ww AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 5 + 1 AS w
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM ww),
+        |q AS (SELECT source,
+        |        CAST((20000 * w) // (SELECT sw FROM sw) AS BIGINT) AS quota_tokens
+        |      FROM ww),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT c.source, c.doc_id, c.n_tokens, c.cum_before, q.quota_tokens
+        |FROM c JOIN q ON c.source = q.source
+        |WHERE c.cum_before < q.quota_tokens""".stripMargin,
+
+    // planted closed form (the d10 pattern): w/h re-derived from the
+    // fixture arithmetic (dims[ds%4] × dims[(ds+1)%4] over the dup-source
+    // id), so a green row proves the Spark side DECODED the real payload
+    // header to the same dimensions; packing is the per-bucket
+    // single-window cumsum the grouped prefix sum must match exactly
+    "m5_ar_bucket_pack" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 50 = 49 AND doc_id >= 25
+        |         THEN doc_id - 25 ELSE doc_id END AS ds
+        |  FROM documents),
+        |wh AS (
+        |  SELECT id,
+        |    ([8,16,32,64])[CAST(ds % 4 AS INT) + 1] AS w,
+        |    ([8,16,32,64])[CAST((ds + 1) % 4 AS INT) + 1] AS h
+        |  FROM img),
+        |b AS (
+        |  SELECT id,
+        |    CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) AS bucket,
+        |    CAST(w AS BIGINT) * h AS pixels
+        |  FROM wh),
+        |c AS (
+        |  SELECT id, bucket, pixels,
+        |    CAST(COALESCE(sum(pixels) OVER (PARTITION BY bucket ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS px_before
+        |  FROM b)
+        |SELECT id, bucket, pixels, px_before,
+        |  px_before // 16384 AS batch_no
+        |FROM c""".stripMargin,
+
+    // the single-window global permutation the two-pass rank must match
+    "k11_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY h, doc_id) AS rk,
+        |  (row_number() OVER (ORDER BY h, doc_id) - 1) % 16 AS shard
+        |FROM h""".stripMargin
   )
 
   /** Rank-selection quantiles (the c32 core, reused by k7's maintenance

@@ -229,6 +229,49 @@ object Scheduler {
       .drop("__pid", "__v", "__run", "__opid", "__off")
   }
 
+  /** PER-GROUP exclusive prefix sum — `outCol` = sum of `valueCol` over
+    * rows of the SAME group strictly before this one in `orderCols` order.
+    * The naive form (`sum over (partition by group order by ...)`) puts
+    * each whole group in one task — the hot-group trap at 10^10 rows,
+    * where one source/language/bucket dominates the corpus. Here the
+    * buckets come from [[orderBuckets]] over the ORDER key alone (a
+    * numeric leading key — the callers' id/hash — takes the
+    * quantile-sketch path, so the group column's type and cardinality
+    * never force a range pass), the in-bucket running sums window on
+    * (bucket, group) — every group is spread across ALL buckets, so a
+    * hot group rides ~#buckets tasks instead of one — and the
+    * per-(group, bucket) offsets table (#groups × #buckets rows, its own
+    * window partitioned by group over the tiny table) joins back via
+    * broadcast. ONE corpus shuffle total, same as [[globalPrefixSum]].
+    * Bit-identical to the single-window form (SchedulerSpec) for any
+    * per-group-total `orderCols`; group count must be broadcast-small
+    * (it is a dimension — sources, languages, AR buckets), group SIZE
+    * is unbounded. */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      valueCol: Column, outCol: String, parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = orderBuckets(df, orderCols, n)
+      .withColumn("__v", valueCol.cast("long"))
+    val wRun = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inPart = ranged
+      .withColumn("__run", coalesce(sum(col("__v")).over(wRun), lit(0L)))
+    val wOff = Window.partitionBy(col("__ogrp")).orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col("__pid").as("__opid"), col(groupCol).as("__ogrp"))
+      .agg(sum(col("__v")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__opid"), col("__ogrp"), col("__off"))
+    inPart
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__ogrp"))
+      .withColumn(outCol, col("__off") + col("__run"))
+      .drop("__pid", "__v", "__run", "__opid", "__ogrp", "__off")
+  }
+
   /** robots.txt gate: drop urls whose path matches a disallowed prefix for
     * their host; among matching rules the LONGEST prefix wins (standard
     * robots precedence; exact-length ties resolve allow-first). `robots` is

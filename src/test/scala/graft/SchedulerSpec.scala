@@ -152,6 +152,31 @@ class SchedulerSpec extends SparkSpec {
     assert(recs.count(_ > 1000) == 1, s"other shuffles must carry partials only: $recs")
   }
 
+  test("groupedPrefixSum is bit-identical to the per-group window cumsum, incl. a hot group") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one group holds ~70% of the rows (the hot-source shape the grouped
+    // two-pass exists for); values include zeros and repeats
+    val df = (0 until 6000).map { i =>
+      val g = if (i % 10 < 7) "hot" else if (i % 10 < 9) "warm" else "cold"
+      (g, i.toLong, (i * 31 % 97).toLong)
+    }.toDF("g", "id", "v")
+    val single = df.withColumn("off",
+        coalesce(sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "id", "off").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dist = Scheduler.groupedPrefixSum(df, "g", Seq(col("id")), col("v"), "off", parts = 8)
+      .select("g", "id", "off").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist == single)
+    // the corpus moves through exactly one corpus-sized shuffle; the group
+    // totals and bucket offsets ride partial-agg exchanges only
+    val q = Scheduler.groupedPrefixSum(df, "g", Seq(col("id")), col("v"), "off", parts = 8)
+    val recs = shuffleRecords(q)
+    assert(recs.count(_ >= 6000) == 1, s"expected 1 corpus-sized shuffle, got $recs")
+  }
+
   test("per-host budget dim overrides the default; banded variant agrees") {
     import spark.implicits._
     val f = (0 until 18).map { i =>
