@@ -595,10 +595,50 @@ object Bench {
       val tPr = time {
         ranked = LinkGraph.pagerank(prEdges, iterations = 3).count()
       }
+      // incremental PageRank maintenance at the same scale: a ~0.5% link
+      // batch (mostly rewires between stored nodes + a tail of brand-new
+      // nodes) folds into the stored per-iteration history; full_sec is
+      // the naive alternative (re-rank old ∪ batch from scratch, same DF
+      // engine). update must match the full re-rank row-for-row — the
+      // join-match count re-checks the LinkGraphSpec equality at bench
+      // scale, not just row counts.
+      val prBatch = spark.range(0, nPr / 256)
+        .select(pmod(col("id") * 131, lit(nPr)).as("src"),
+          pmod(col("id") * 131 + 7, lit(nPr)).as("dst"))
+        .unionByName(spark.range(0, nPr / 1024)
+          .select((lit(nPr) + col("id")).as("src"), pmod(col("id") * 13, lit(nPr)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val nBatch = prBatch.count()
+      var histLevels = 0
+      var prHist: Seq[org.apache.spark.sql.DataFrame] = Seq.empty
+      val tHist = time {
+        prHist = LinkGraph.pagerankHistory(prEdges, iterations = 3)
+        histLevels = prHist.length
+      }
+      var updatedRows = 0L
+      var updatedDf: org.apache.spark.sql.DataFrame = null
+      val tUpd = time {
+        updatedDf = LinkGraph.updatePagerank(prEdges, prHist, prBatch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        updatedRows = updatedDf.count()
+      }
+      var fullRows = 0L
+      var fullDf: org.apache.spark.sql.DataFrame = null
+      val tFullPr = time {
+        fullDf = LinkGraph.pagerank(prEdges.unionByName(prBatch), iterations = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fullRows = fullDf.count()
+      }
+      val matched = updatedDf.join(fullDf, Seq("node", "rank_fp")).count()
+      updatedDf.unpersist(); fullDf.unpersist()
       s"""{"redirect":{"edges":$nRedirEdges,"resolved":$resolved,""" +
       s""""unresolved":$unresolved,"sec":$tRed,"edges_per_sec":${(nRedirEdges / tRed).round}},""" +
       s""""pagerank":{"edges":$nPrEdges,"nodes":$nPr,"iters":3,"sec":$tPr,""" +
-      s""""edges_per_sec":${(nPrEdges / tPr).round}}}"""
+      s""""edges_per_sec":${(nPrEdges / tPr).round}},""" +
+      s""""pagerank_maintenance":{"batch_edges":$nBatch,"history_levels":$histLevels,""" +
+      s""""history_sec":$tHist,"update_sec":$tUpd,"full_sec":$tFullPr,""" +
+      s""""rows_update":$updatedRows,"rows_full":$fullRows,"rows_matched":$matched}}"""
     }
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +

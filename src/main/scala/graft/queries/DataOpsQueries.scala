@@ -1331,6 +1331,40 @@ object DataOpsQueries {
           col("px_before"), col("batch_no"))
     }),
 
+    // The training-run delivery composition (e1/e5/e6's sibling for the
+    // DELIVERY half): token-budget mixture selection (s4) → deterministic
+    // epoch shuffle of the SELECTED docs (k11's permutation) → token-
+    // budget shard packing in shuffle order (k5's prefix sum) — all in
+    // ONE lazy plan chain, no driver round-trip between stages. Proves
+    // the three order/prefix primitives (groupedPrefixSum, globalRank,
+    // globalPrefixSum) compose: three corpus-sized shuffles total, one
+    // per primitive, nothing extra from the composition itself.
+    "e7_training_mix" -> ((s, dir) => {
+      val d = Fixture.documents(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val w = d.select(col("source")).distinct()
+        .withColumn("__w", graft.ops.CrossHash.md5Hash60(col("source")) % 5 + 1)
+      val sw = w.agg(sum(col("__w")).as("__sw"))
+      val quotas = w.crossJoin(broadcast(sw))
+        .withColumn("quota_tokens", expr("(20000 * __w) DIV __sw"))
+        .select(col("source"), col("quota_tokens"))
+      val selected = graft.sched.Scheduler.groupedPrefixSum(
+          d.withColumn("__h", graft.ops.Sampling.idHash(col("doc_id"))),
+          "source", Seq(col("__h"), col("doc_id")), col("n_tokens"), "__cum")
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("__cum") < col("quota_tokens"))
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .withColumn("__h2", graft.ops.CrossHash.md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":7"))))
+      val shuffled = graft.sched.Scheduler.globalRank(
+        selected, Seq(col("__h2"), col("doc_id")), "rk")
+      graft.sched.Scheduler.globalPrefixSum(
+          shuffled, Seq(col("rk")), col("n_tokens"), "__start")
+        .withColumn("shard_id", expr("__start DIV 2000"))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("rk"), col("shard_id"))
+    }),
+
     // Deterministic epoch shuffle — the training-order step: a seeded
     // cross-engine hash of (doc_id, epoch) defines a full permutation of
     // the corpus, ranked WITHOUT the single-task global window
@@ -2322,6 +2356,40 @@ object DataOpsQueries {
         |SELECT id, bucket, pixels, px_before,
         |  px_before // 16384 AS batch_no
         |FROM c""".stripMargin,
+
+    // the whole delivery chain, re-derived by the oracle as nested
+    // single-window forms: quota selection → hash permutation → pack
+    "e7_training_mix" ->
+      s"""WITH d AS (
+        |  SELECT source, doc_id, CAST(${TextOracle.nTokensSql} AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |ww AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 5 + 1 AS w
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM ww),
+        |q AS (SELECT source,
+        |        CAST((20000 * w) // (SELECT sw FROM sw) AS BIGINT) AS quota_tokens
+        |      FROM ww),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM d),
+        |sel AS (
+        |  SELECT c.source, c.doc_id, c.n_tokens,
+        |    CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':7'), 1, 15) AS BIGINT) AS h2
+        |  FROM c JOIN q ON c.source = q.source
+        |  WHERE c.cum < q.quota_tokens),
+        |rk AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY h2, doc_id) AS rk
+        |  FROM sel)
+        |SELECT source, doc_id, n_tokens, rk,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2000 AS shard_id
+        |FROM rk""".stripMargin,
 
     // the single-window global permutation the two-pass rank must match
     "k11_epoch_shuffle" ->
