@@ -171,6 +171,117 @@ object Bench {
     (nUrls / secs, fetched)
   }
 
+  /** The LinkGraph section of the bench (factored so
+    * SPARK_GRAFT_GRAPH_ONLY can drive it alone). */
+  private def graphScaleSection(spark: org.apache.spark.sql.SparkSession,
+      benchUrls: Long): String = {
+    import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.functions._
+      val nRed = benchUrls / 2
+      // chains: id → id+1 within each 64-block; block heads absorb; every
+      // 4096th block closes into a cycle (head → head+63)
+      val redirEdges = spark.range(0, nRed)
+        .filter(col("id") % 64 =!= 0)
+        .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        .unionByName(spark.range(0, nRed)
+          .filter(col("id") % 4096 === 0)
+          .select(col("id").as("src"), (col("id") + 63).as("dst")))
+        .localCheckpoint()
+      val nRedirEdges = redirEdges.count()
+      var resolved = 0L
+      var unresolved = 0L
+      val tRed = time {
+        val out = LinkGraph.resolveRedirects(redirEdges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unresolved = out.filter(col("unresolved")).count()
+        resolved = out.count() - unresolved
+        out.unpersist()
+        ()
+      }
+      val nPr = benchUrls / 2
+      val prEdges = spark.range(0, nPr)
+        .select(col("id").as("src"), pmod(col("id") + 1, lit(nPr)).as("dst"))
+        .unionByName(spark.range(0, nPr)
+          .select(col("id").as("src"), pmod(col("id") * 2 + 1, lit(nPr)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val nPrEdges = prEdges.count()
+      var ranked = 0L
+      val tPr = time {
+        ranked = LinkGraph.pagerank(prEdges, iterations = 3).count()
+      }
+      // incremental PageRank maintenance at the same scale: a ~0.5% link
+      // batch (mostly rewires between stored nodes + a tail of brand-new
+      // nodes) folds into the stored per-iteration history; full_sec is
+      // the naive alternative (re-rank old ∪ batch from scratch, same DF
+      // engine). update must match the full re-rank row-for-row — the
+      // join-match count re-checks the LinkGraphSpec equality at bench
+      // scale, not just row counts.
+      val prBatch = spark.range(0, nPr / 256)
+        .select(pmod(col("id") * 131, lit(nPr)).as("src"),
+          pmod(col("id") * 131 + 7, lit(nPr)).as("dst"))
+        .unionByName(spark.range(0, nPr / 1024)
+          .select((lit(nPr) + col("id")).as("src"), pmod(col("id") * 13, lit(nPr)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val nBatch = prBatch.count()
+      var histLevels = 0
+      var prState: LinkGraph.PagerankState = null
+      val tHist = time {
+        prState = LinkGraph.pagerankHistory(prEdges, iterations = 3)
+        histLevels = prState.history.length
+        // materialize the stored artifact — the update measures the FOLD,
+        // not the store build it reads from
+        prState.history.last.count()
+        ()
+      }
+      // min2 like every other maintenance section: the fold is a steady-
+      // state operation (a crawl folds many batches against a warm store),
+      // so the comparable number excludes one-off codegen/plan compile.
+      // The shuffle listener rides along (covering both reps of each
+      // path): at 2M in-memory edges the WALL floor is table scans —
+      // identical for both paths — while what the fold actually removes
+      // is the per-iteration corpus-sized shuffle, which is exactly what
+      // dominates at 10^10. shuffle_records makes that visible at bench
+      // scale: the fold moves O(dirty frontier), the full re-rank moves
+      // the corpus every iteration.
+      var updatedRows = 0L
+      var updatedDf: org.apache.spark.sql.DataFrame = null
+      val lUpd = graft.metrics.Metrics.register(spark, logEveryTasks = 0)
+      val tUpd = min2 {
+        if (updatedDf != null) { updatedDf.unpersist(); () }
+        updatedDf = LinkGraph.updatePagerank(prState, prBatch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        updatedRows = updatedDf.count()
+      }
+      val sUpd = lUpd.snapshot
+      lUpd.unregister()
+      var fullRows = 0L
+      var fullDf: org.apache.spark.sql.DataFrame = null
+      val lFull = graft.metrics.Metrics.register(spark, logEveryTasks = 0)
+      val tFullPr = min2 {
+        if (fullDf != null) { fullDf.unpersist(); () }
+        fullDf = LinkGraph.pagerank(prEdges.unionByName(prBatch), iterations = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fullRows = fullDf.count()
+      }
+      val sFull = lFull.snapshot
+      lFull.unregister()
+      val matched = updatedDf.join(fullDf, Seq("node", "rank_fp")).count()
+      updatedDf.unpersist(); fullDf.unpersist()
+      s"""{"redirect":{"edges":$nRedirEdges,"resolved":$resolved,""" +
+      s""""unresolved":$unresolved,"sec":$tRed,"edges_per_sec":${(nRedirEdges / tRed).round}},""" +
+      s""""pagerank":{"edges":$nPrEdges,"nodes":$nPr,"iters":3,"sec":$tPr,""" +
+      s""""edges_per_sec":${(nPrEdges / tPr).round}},""" +
+      s""""pagerank_maintenance":{"batch_edges":$nBatch,"history_levels":$histLevels,""" +
+      s""""history_sec":$tHist,"update_sec":$tUpd,"full_sec":$tFullPr,""" +
+      s""""update_shuffle_records":${sUpd.shuffleRecordsRead},""" +
+      s""""full_shuffle_records":${sFull.shuffleRecordsRead},""" +
+      s""""update_shuffle_bytes":${sUpd.shuffleBytesWritten},""" +
+      s""""full_shuffle_bytes":${sFull.shuffleBytesWritten},""" +
+      s""""rows_update":$updatedRows,"rows_full":$fullRows,"rows_matched":$matched}}"""
+  }
+
   /** The cc_scale measurement (factored so SPARK_GRAFT_CC_ONLY can drive
     * it in isolation for local iteration): close a million-edge pair
     * graph — random mean-degree-~1 noise (the realistic near-dup
@@ -224,6 +335,12 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_CC_ONLY").contains("1")) {
       val cold = ccScaleSection(spark, benchUrls)
       println(s"""{"cc_scale_cold":$cold,"cc_scale":${ccScaleSection(spark, benchUrls)}}""")
+      spark.stop()
+      return
+    }
+    // opt-in fast path for local iteration on the link-graph section alone
+    if (sys.env.get("SPARK_GRAFT_GRAPH_ONLY").contains("1")) {
+      println(s"""{"graph_scale":${graphScaleSection(spark, benchUrls)}}""")
       spark.stop()
       return
     }
@@ -560,86 +677,7 @@ object Bench {
     // ≤ 63 hops so resolution completes inside the default maxChain cap
     // (7 pointer-doubling rounds); every 4096th block closes into a
     // 64-cycle so the unresolved path stays exercised.
-    val graphScale = {
-      import org.apache.spark.sql.functions._
-      val nRed = benchUrls / 2
-      // chains: id → id+1 within each 64-block; block heads absorb; every
-      // 4096th block closes into a cycle (head → head+63)
-      val redirEdges = spark.range(0, nRed)
-        .filter(col("id") % 64 =!= 0)
-        .select(col("id").as("src"), (col("id") - 1).as("dst"))
-        .unionByName(spark.range(0, nRed)
-          .filter(col("id") % 4096 === 0)
-          .select(col("id").as("src"), (col("id") + 63).as("dst")))
-        .localCheckpoint()
-      val nRedirEdges = redirEdges.count()
-      var resolved = 0L
-      var unresolved = 0L
-      val tRed = time {
-        val out = LinkGraph.resolveRedirects(redirEdges)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        unresolved = out.filter(col("unresolved")).count()
-        resolved = out.count() - unresolved
-        out.unpersist()
-        ()
-      }
-      val nPr = benchUrls / 2
-      val prEdges = spark.range(0, nPr)
-        .select(col("id").as("src"), pmod(col("id") + 1, lit(nPr)).as("dst"))
-        .unionByName(spark.range(0, nPr)
-          .select(col("id").as("src"), pmod(col("id") * 2 + 1, lit(nPr)).as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .localCheckpoint()
-      val nPrEdges = prEdges.count()
-      var ranked = 0L
-      val tPr = time {
-        ranked = LinkGraph.pagerank(prEdges, iterations = 3).count()
-      }
-      // incremental PageRank maintenance at the same scale: a ~0.5% link
-      // batch (mostly rewires between stored nodes + a tail of brand-new
-      // nodes) folds into the stored per-iteration history; full_sec is
-      // the naive alternative (re-rank old ∪ batch from scratch, same DF
-      // engine). update must match the full re-rank row-for-row — the
-      // join-match count re-checks the LinkGraphSpec equality at bench
-      // scale, not just row counts.
-      val prBatch = spark.range(0, nPr / 256)
-        .select(pmod(col("id") * 131, lit(nPr)).as("src"),
-          pmod(col("id") * 131 + 7, lit(nPr)).as("dst"))
-        .unionByName(spark.range(0, nPr / 1024)
-          .select((lit(nPr) + col("id")).as("src"), pmod(col("id") * 13, lit(nPr)).as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .localCheckpoint()
-      val nBatch = prBatch.count()
-      var histLevels = 0
-      var prHist: Seq[org.apache.spark.sql.DataFrame] = Seq.empty
-      val tHist = time {
-        prHist = LinkGraph.pagerankHistory(prEdges, iterations = 3)
-        histLevels = prHist.length
-      }
-      var updatedRows = 0L
-      var updatedDf: org.apache.spark.sql.DataFrame = null
-      val tUpd = time {
-        updatedDf = LinkGraph.updatePagerank(prEdges, prHist, prBatch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        updatedRows = updatedDf.count()
-      }
-      var fullRows = 0L
-      var fullDf: org.apache.spark.sql.DataFrame = null
-      val tFullPr = time {
-        fullDf = LinkGraph.pagerank(prEdges.unionByName(prBatch), iterations = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fullRows = fullDf.count()
-      }
-      val matched = updatedDf.join(fullDf, Seq("node", "rank_fp")).count()
-      updatedDf.unpersist(); fullDf.unpersist()
-      s"""{"redirect":{"edges":$nRedirEdges,"resolved":$resolved,""" +
-      s""""unresolved":$unresolved,"sec":$tRed,"edges_per_sec":${(nRedirEdges / tRed).round}},""" +
-      s""""pagerank":{"edges":$nPrEdges,"nodes":$nPr,"iters":3,"sec":$tPr,""" +
-      s""""edges_per_sec":${(nPrEdges / tPr).round}},""" +
-      s""""pagerank_maintenance":{"batch_edges":$nBatch,"history_levels":$histLevels,""" +
-      s""""history_sec":$tHist,"update_sec":$tUpd,"full_sec":$tFullPr,""" +
-      s""""rows_update":$updatedRows,"rows_full":$fullRows,"rows_matched":$matched}}"""
-    }
+    val graphScale = graphScaleSection(spark, benchUrls)
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
       s""""cc_scale":$ccScale,"label_maintenance":$labelMaint,"graph_scale":$graphScale""")

@@ -318,32 +318,40 @@ object LinkGraph {
     .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     .distinct()
 
-  /** [[pagerank]] keeping EVERY iteration's rank table — the stored
-    * artifact that makes incremental maintenance possible: returns
-    * r₀..r_iterations as (node, rank_fp) frames, each lineage-truncated
-    * and materialized (an update re-reads arbitrary levels; a lazy chain
-    * would re-run the whole loop per level). r_iterations is exactly what
-    * [[pagerank]] returns for the same edges; the prefix levels are what
-    * [[updatePagerank]]'s dirty-frontier re-walk merges against. Always
-    * the DataFrame engine: history is a MAINTENANCE artifact — it exists
-    * for the 10^10-edge stored-graph posture, where the DF loop is the
-    * dispatch target anyway. */
+  /** The stored PageRank maintenance artifact: the normalized edge set,
+    * its out-degree table, the incident node set, and EVERY iteration's
+    * rank table r₀..r_k — all lineage-truncated. In a deployment each
+    * member is a store-backed table (dst-partitioned edges, node-keyed
+    * deg/nodes/ranks); here they are checkpointed frames with the same
+    * read cost shape. `history.last` is exactly what [[pagerank]] returns
+    * for the same edges. */
+  final case class PagerankState(edges: DataFrame, deg: DataFrame,
+      nodes: DataFrame, history: Seq[DataFrame])
+
+  /** [[pagerank]] keeping the full [[PagerankState]] — the stored shape
+    * that makes incremental maintenance possible: [[updatePagerank]]
+    * merges the batch against the stored deg/nodes in O(batch + stored
+    * scans) and re-walks only the dirty frontier against the stored rank
+    * levels. Always the DataFrame engine: history is a MAINTENANCE
+    * artifact — it exists for the 10^10-edge stored-graph posture, where
+    * the DF loop is the dispatch target anyway. Everything is LAZY
+    * (non-eager checkpoints): the caller's first action materializes the
+    * whole chain once; each level's blocks are then served from the
+    * checkpoint on every later read. */
   def pagerankHistory(edges: DataFrame, iterations: Int = 3,
       scale: Long = 1000000L, dampNum: Long = 85,
-      dampDen: Long = 100): Seq[DataFrame] = {
+      dampDen: Long = 100): PagerankState = {
     require(iterations >= 1 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val base = (dampDen - dampNum) * scale / dampDen
     val e = truncateDf(prepEdges(edges), reliable)
-    e.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val deg = truncateDf(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), reliable)
     val adj = e.join(deg, "src")
     val nodes = truncateDf(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct(), reliable)
     var ranks = truncateDf(nodes.select(col("node"), lit(scale).as("rank_fp")), reliable)
-    ranks.count()
     val hist = scala.collection.mutable.ArrayBuffer(ranks)
     var i = 0
     while (i < iterations) {
@@ -354,11 +362,10 @@ object LinkGraph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
             .as("rank_fp")), reliable)
-      ranks.count() // materialize each level — updates read them at random
       hist += ranks
       i += 1
     }
-    hist.toSeq
+    PagerankState(e, deg, nodes, hist.toSeq)
   }
 
   /** Fold a crawl batch's NEWLY DISCOVERED link edges into a stored
@@ -369,7 +376,7 @@ object LinkGraph {
     * batch is `iterations` passes over ALL edges ever crawled; here every
     * iteration recomputes ONLY the dirty frontier — the nodes whose rank
     * the batch can actually change — and serves everything else from the
-    * stored per-iteration history ([[pagerankHistory]] over `oldEdges`).
+    * stored per-iteration history ([[PagerankState]]).
     *
     * Dirty-frontier induction (exactness, not approximation): at level i
     * a node's rank differs from stored iff some in-edge contribution
@@ -388,63 +395,96 @@ object LinkGraph {
     * with dst-partitioned edge storage the in-edge semi joins are
     * partition-pruned index probes, never corpus scans.
     *
-    * `history` must be [[pagerankHistory]] of `oldEdges` with the same
-    * (scale, dampNum, dampDen); iterations = history.length − 1. Batch
-    * edges already present in `oldEdges` are ignored (re-discovered
-    * links are a no-op, matching CuckooSeen.insert's semantics). */
-  def updatePagerank(oldEdges: DataFrame, history: Seq[DataFrame],
-      newEdges: DataFrame, scale: Long = 1000000L, dampNum: Long = 85,
+    * `state` must be [[pagerankHistory]] of the stored edges with the
+    * same (scale, dampNum, dampDen); iterations = history.length − 1.
+    * Batch edges already present in the stored set are ignored
+    * (re-discovered links are a no-op, matching CuckooSeen.insert's
+    * semantics). The stored deg/nodes tables are MERGED with the batch
+    * (broadcast joins — the batch side is small), never re-derived from
+    * the edge corpus: per batch the only stored-corpus work is scans
+    * (partition-pruned probes against a dst-partitioned edge store),
+    * no corpus-sized shuffle anywhere. */
+  def updatePagerank(state: PagerankState, newEdges: DataFrame,
+      scale: Long = 1000000L, dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
-    require(history.nonEmpty, "history must hold at least r0 — run pagerankHistory first")
-    val spark = oldEdges.sparkSession
+    val history = state.history
+    require(history.nonEmpty, "state must hold at least r0 — run pagerankHistory first")
+    val spark = newEdges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val base = (dampDen - dampNum) * scale / dampDen
-    val oldE = prepEdges(oldEdges)
-    val ne = truncateDf(prepEdges(newEdges)
-      .join(oldE, Seq("src", "dst"), "left_anti"), reliable)
+    val oldE = state.edges
+    // batch dedup vs stored WITHOUT shuffling the corpus: intersect via a
+    // broadcast-semi SCAN of the stored edges, then a broadcast anti
+    // against that (small) intersection — checkpointed frames carry no
+    // stats, so without the hints these anti joins sort-merge the corpus
+    val prepNe = prepEdges(newEdges)
+    val storedDup = oldE.join(broadcast(prepNe), Seq("src", "dst"), "left_semi")
+    val ne = truncateDf(prepNe
+      .join(broadcast(storedDup), Seq("src", "dst"), "left_anti"), reliable)
     if (ne.limit(1).count() == 0L) return history.last
 
-    val full = truncateDf(oldE.unionByName(ne), reliable) // disjoint by the anti join
-    // deg' — conceptually storedDeg + per-src batch deltas; the groupBy
-    // here re-derives it because deg is cheap relative to the in-edge
-    // probes, and a store-backed caller would pass its maintained copy
-    val deg = full.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-    val oldNodes = oldE.select(col("src").as("node"))
-      .unionByName(oldE.select(col("dst").as("node"))).distinct()
+    val full = oldE.unionByName(ne) // disjoint by the anti join
+    // deg' = stored deg + per-src batch deltas (broadcast merge + the
+    // brand-new srcs via the same scan-intersect trick), NEVER a
+    // re-aggregation of the stored edge corpus
+    val batchDeg = truncateDf(ne.groupBy("src").agg(count(lit(1)).as("__bd")), reliable)
+    val degDup = state.deg.join(broadcast(batchDeg), Seq("src"), "left_semi")
+      .select(col("src"))
+    val deg = truncateDf(
+      state.deg.join(broadcast(batchDeg), Seq("src"), "left")
+        .select(col("src"),
+          (col("__outdeg") + coalesce(col("__bd"), lit(0L))).as("__outdeg"))
+        .unionByName(batchDeg.join(broadcast(degDup), Seq("src"), "left_anti")
+          .select(col("src"), col("__bd").as("__outdeg"))), reliable)
+    val neNodes = ne.select(col("src").as("node"))
+      .unionByName(ne.select(col("dst").as("node"))).distinct()
+    val nodeDup = state.nodes.join(broadcast(neNodes), Seq("node"), "left_semi")
     val newNodes = truncateDf(
-      ne.select(col("src").as("node")).unionByName(ne.select(col("dst").as("node")))
-        .distinct().join(oldNodes, Seq("node"), "left_anti"), reliable)
+      neNodes.join(broadcast(nodeDup), Seq("node"), "left_anti"), reliable)
     val batchSrcs = ne.select(col("src")).distinct()
 
+    // Broadcast-small assumption (documented contract, like
+    // updateRedirects' append-only rule): the batch and its ≤ |batch| ×
+    // out-degree^k dirty frontier fit the broadcast budget — true for
+    // crawl-batch folds with the small fixed iteration count; a batch
+    // whose frontier outgrows that is a re-rank, not a fold.
     var dirty = newNodes                                       // D₀
     var recomputed = newNodes.select(col("node"), lit(scale).as("rank_fp"))
     var i = 1
     while (i < history.length) {
-      // r'_{i−1}: stored level patched with the dirty recomputes
-      val merged = history(i - 1).join(dirty, Seq("node"), "left_anti")
-        .unionByName(recomputed)
       val srcDirty = dirty.select(col("node").as("src"))
         .unionByName(batchSrcs).distinct()
       val nextDirty = truncateDf(
-        full.join(srcDirty, Seq("src"), "left_semi")
+        full.join(broadcast(srcDirty), Seq("src"), "left_semi")
           .select(col("dst").as("node"))
           .unionByName(newNodes).distinct(), reliable)
       // in-edges of the dirty set only — the probe a dst-partitioned
       // edge store answers with partition pruning
-      val inE = full.join(nextDirty.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      val contribs = inE.join(deg, "src")
-        .join(merged.withColumnRenamed("node", "src"), Seq("src"))
+      val inE = full.join(broadcast(nextDirty.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi")
+      // deg' and r'_{i−1} pruned to the TOUCHED srcs first (broadcast-semi
+      // scans), so the contribution joins are small⋈small broadcasts;
+      // r'_{i−1} = stored level patched with the previous dirty recomputes
+      val touched = inE.select(col("src")).distinct()
+      val degT = deg.join(broadcast(touched), Seq("src"), "left_semi")
+      val mergedT = history(i - 1).join(broadcast(touched.withColumnRenamed("src", "node")),
+          Seq("node"), "left_semi")
+        .join(broadcast(dirty), Seq("node"), "left_anti")
+        .unionByName(recomputed.join(broadcast(touched.withColumnRenamed("src", "node")),
+          Seq("node"), "left_semi"))
+      val contribs = inE.join(broadcast(degT), "src")
+        .join(broadcast(mergedT.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__c"))
-      recomputed = truncateDf(nextDirty.join(contribs, Seq("node"), "left")
+      recomputed = truncateDf(nextDirty.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
             .as("rank_fp")), reliable)
-      recomputed.count() // materialize — next round's merge re-reads it
       dirty = nextDirty
       i += 1
     }
-    history.last.join(dirty, Seq("node"), "left_anti").unionByName(recomputed)
+    history.last.join(broadcast(dirty), Seq("node"), "left_anti")
+      .unionByName(recomputed)
   }
 
   private def pagerankRddLoop(e: DataFrame, edgeCount: Long, iterations: Int,

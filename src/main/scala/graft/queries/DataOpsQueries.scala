@@ -1230,8 +1230,8 @@ object DataOpsQueries {
       try {
         val b1 = edges.filter(xxhash64(col("src"), col("dst")) % 3 =!= 0)
         val b2 = edges.filter(xxhash64(col("src"), col("dst")) % 3 === 0)
-        val hist = graft.ops.LinkGraph.pagerankHistory(b1, iterations = 3)
-        graft.ops.LinkGraph.updatePagerank(b1, hist, b2)
+        val state = graft.ops.LinkGraph.pagerankHistory(b1, iterations = 3)
+        graft.ops.LinkGraph.updatePagerank(state, b2)
       } finally { edges.unpersist(); () }
     }),
 

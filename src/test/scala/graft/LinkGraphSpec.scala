@@ -209,13 +209,13 @@ class LinkGraphSpec extends SparkSpec {
 
   test("pagerankHistory: the last level IS pagerank; levels are per-iteration exact") {
     val edges = Seq(0L -> 1L, 0L -> 2L, 1L -> 0L, 1L -> 2L, 3L -> 0L, 4L -> 0L, 4L -> 3L)
-    val hist = LinkGraph.pagerankHistory(edgesDf(edges), iterations = 4)
-    assert(hist.length === 5)
-    assert(ranksOf(hist.last) === pagerankRef(edges, iters = 4))
-    assert(ranksOf(hist(2)) === pagerankRef(edges, iters = 2))
+    val st = LinkGraph.pagerankHistory(edgesDf(edges), iterations = 4)
+    assert(st.history.length === 5)
+    assert(ranksOf(st.history.last) === pagerankRef(edges, iters = 4))
+    assert(ranksOf(st.history(2)) === pagerankRef(edges, iters = 2))
     // r0 is the uniform start over every incident node
-    assert(ranksOf(hist.head).values.toSet === Set(1000000L))
-    assert(ranksOf(hist.head).keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    assert(ranksOf(st.history.head).values.toSet === Set(1000000L))
+    assert(ranksOf(st.history.head).keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
   }
 
   test("updatePagerank: dirty-frontier update equals one-shot pagerank on random splits") {
@@ -227,30 +227,29 @@ class LinkGraphSpec extends SparkSpec {
         .filter(e => e._1 != e._2).distinct
       val (b1, b2) = all.partition(_ => rnd.nextBoolean())
       val expected = pagerankRef(all, iters = 3)
-      val hist = LinkGraph.pagerankHistory(edgesDf(b1), iterations = 3)
-      val got = ranksOf(LinkGraph.updatePagerank(edgesDf(b1), hist, edgesDf(b2)))
+      val st = LinkGraph.pagerankHistory(edgesDf(b1), iterations = 3)
+      val got = ranksOf(LinkGraph.updatePagerank(st, edgesDf(b2)))
       assert(got === expected, s"trial $trial: n=$n b1=${b1.size} b2=${b2.size}")
     }
   }
 
   test("updatePagerank: brand-new nodes, re-discovered edges, empty batch") {
     val stored = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
-    val hist = LinkGraph.pagerankHistory(edgesDf(stored), iterations = 3)
+    val st = LinkGraph.pagerankHistory(edgesDf(stored), iterations = 3)
     // batch re-discovers a stored edge (no-op), extends a stored node's
     // out-degree, and attaches a brand-new 2-node tail
     val batch = Seq(0L -> 1L, 1L -> 3L, 3L -> 4L)
-    val got = ranksOf(LinkGraph.updatePagerank(edgesDf(stored), hist, edgesDf(batch)))
+    val got = ranksOf(LinkGraph.updatePagerank(st, edgesDf(batch)))
     assert(got === pagerankRef((stored ++ batch).distinct, iters = 3))
     // an all-duplicates batch returns the stored top level as-is
-    val noop = ranksOf(LinkGraph.updatePagerank(edgesDf(stored), hist, edgesDf(stored)))
+    val noop = ranksOf(LinkGraph.updatePagerank(st, edgesDf(stored)))
     assert(noop === pagerankRef(stored, iters = 3))
   }
 
   test("updatePagerank: empty stored graph equals pagerank of the batch alone") {
-    val empty = edgesDf(Seq.empty)
-    val hist = LinkGraph.pagerankHistory(empty, iterations = 3)
+    val st = LinkGraph.pagerankHistory(edgesDf(Seq.empty), iterations = 3)
     val batch = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 0L)
-    val got = ranksOf(LinkGraph.updatePagerank(empty, hist, edgesDf(batch)))
+    val got = ranksOf(LinkGraph.updatePagerank(st, edgesDf(batch)))
     assert(got === pagerankRef(batch, iters = 3))
   }
 }
