@@ -755,6 +755,48 @@ object Dedup {
     spanCover(df, textCol, idCol, k)
       .select(col("doc_id"), array_join(survivingToks, " ").as("text"))
 
+  /** SemDeDup-style semantic dedup over a PRE-ASSIGNED clustering
+    * (`clusterCol` from [[Ivf.assign]] or read back from the IVF
+    * index's partition column): within each cluster, drop every vector
+    * that has a τ-cosine-similar vector with a smaller id; survivors are
+    * the per-similarity-neighborhood minima. Unlike [[embeddingNearDup]]
+    * (random sign-buckets, pair OUTPUT) this collapses to survivors
+    * directly and bounds the quadratic pass by the SEMANTIC clustering —
+    * the production recipe for pruning paraphrase-level duplicates that
+    * share no shingles (SemDeDup; the reference has no embedding stage,
+    * its dedup ends at key identity — `dblpclient.py:332-339`).
+    *
+    * Scale shape: cost is Σ|cluster|², not |corpus|²; nlist grows with the
+    * corpus to hold E[|cluster|] flat, and the cluster id is the SAME
+    * write-time partition key the IVF index uses ([[Ivf.writeIndex]])
+    * so at 100 TB both sides of the self-join arrive partition-local
+    * (no exchange) and the anti join back is a broadcast of dropped ids
+    * per cluster. Returns (idCol, cluster) survivors. */
+  def semanticDedupWithin(assigned: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, tau: Double): DataFrame = {
+    val base = assigned.select(
+      col(idCol).as("id"), col(vecCol).as("v"), col(clusterCol).as("cluster"))
+    val a = base.as("a")
+    val b = base.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    base.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** [[semanticDedupWithin]] with the assignment step included: nearest
+    * fixed centroid per row via the codegen'd kernel (one broadcast pass,
+    * no shuffle), then the cluster-bounded survivor pass. Centroids come
+    * from [[Ivf.train]]/[[Ivf.trainCached]] — train once per
+    * corpus, reuse across batches, exactly like the IVF index. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], tau: Double): DataFrame =
+    semanticDedupWithin(
+      Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol),
+      idCol, vecCol, "cluster", tau)
+
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join
     * never goes quadratic. */

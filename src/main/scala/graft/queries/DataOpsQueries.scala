@@ -124,6 +124,35 @@ object DataOpsQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means-partition the embedding
+    // space, then keep only vectors with NO τ-similar smaller-id neighbor
+    // in their cluster — the paraphrase-level prune that shingle dedup
+    // (d2/d3) cannot see. The quadratic pass is bounded by the semantic
+    // clusters (Σ|cluster|², never |corpus|²) and the cluster id is the
+    // IVF index's write-time partition key, so at scale the self-join is
+    // partition-local. For the oracle the assignment must be bit-exact in
+    // both engines, so centroids are the QUANTIZED (×1000 integer)
+    // vectors of the 16 smallest ids (the i1 derivation — integer dist²
+    // is exact in doubles) and assignment runs on quantized vectors via
+    // the same argmin/(dist,cid)-tie kernel; the cosine prune then runs
+    // on the raw float vectors exactly as d5 proved IEEE-identical.
+    "d19_semantic_dedup" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
+      val u = emb.union(planted)
+      val cents = u.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int"), quantized(col("embedding")))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
+        .sortBy(_._1).toSeq
+      val assigned = u.withColumn("cluster", graft.functions.graftfns.nearestCluster(
+        quantized(col("embedding")),
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+      graft.ops.Dedup.semanticDedupWithin(assigned, "vec_id", "embedding", "cluster", 0.95)
+    }),
+
     // Transitive closure over the multi-signal near-dup pair graph — the
     // stage every production dedup pipeline runs after pair verification
     // (A~B, B~C must collapse even when A,C never share a bucket). The
@@ -854,6 +883,25 @@ object DataOpsQueries {
           g.decodeWidth(col("thumb")).as("thumb_w"),
           g.decodeHeight(col("thumb")).as("thumb_h"),
           g.sniffFormat(col("thumb")).as("thumb_fmt"))
+    }),
+
+    // Image–caption alignment filter — the CLIP-score gate every
+    // image+caption corpus runs before training (keep pairs whose image
+    // and caption embeddings agree; LAION's cut is cos ≥ 0.28): a
+    // row-LOCAL cosine between two embedding columns, one codegen'd
+    // kernel per row, shuffle-free — the plan is a bare scan+filter no
+    // matter the corpus size. The caption embedding is derived
+    // deterministically (vec_id%4==0 → reversed vector: decorrelated,
+    // fails the gate; else the ×1.001f scaled vector: cos≈1, passes) so
+    // DuckDB rebuilds it exactly; the cosine arithmetic is the d5-proven
+    // IEEE-identical left-fold.
+    "m6_caption_alignment" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir)
+      val capv = when(col("vec_id") % 4 === 0, reverse(col("embedding")))
+        .otherwise(transform(col("embedding"), e => e * lit(1.001f)))
+      emb.select(col("vec_id"), col("label"),
+          graft.ops.Similarity.cosine(col("embedding"), capv).as("alignment"))
+        .filter(col("alignment") >= 0.28)
     }),
 
     // Interval join — click-through attribution (clicks joined to the
@@ -1838,6 +1886,42 @@ object DataOpsQueries {
         |WHERE list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95""".stripMargin,
 
+    // same union as d5; assignment via the i1 integer-dist² dot identity
+    // (exact — everything is integer-valued doubles), survivor = no
+    // τ-similar smaller id within the cluster
+    "d19_semantic_dedup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 50),
+        |q AS (SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM u),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q WHERE vec_id < 16),
+        |d AS (
+        |  SELECT q.vec_id, c.cid,
+        |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+        |      - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+        |      + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist
+        |  FROM q CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        |  FROM d),
+        |asg AS (
+        |  SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS v, a.cid AS cluster
+        |  FROM q JOIN a ON a.vec_id = q.vec_id AND a.rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+        |SELECT s.vec_id, s.cluster FROM asg s
+        |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
     "d7_embed_ann" -> bruteForceTopKSql,
     "d8_embed_ivf" -> bruteForceTopKSql,
 
@@ -2112,6 +2196,24 @@ object DataOpsQueries {
         |        ELSE 64 END) // 2 AS INTEGER) AS thumb_h,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS thumb_fmt
         |FROM meta""".stripMargin,
+
+    // same deterministic caption-embedding derivation; the cosine is the
+    // d5-proven IEEE-identical left-fold in doubles
+    "m6_caption_alignment" ->
+      """WITH p AS (
+        |  SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(CASE WHEN vec_id % 4 = 0 THEN list_reverse(embedding)
+        |         ELSE list_transform(embedding,
+        |                e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) END
+        |      AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    list_dot_product(v, cv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS alignment
+        |  FROM p)
+        |SELECT vec_id, label, alignment FROM s WHERE alignment >= 0.28""".stripMargin,
 
     // DuckDB's NATIVE ASOF LEFT JOIN vs the Spark union+fill-down window —
     // independent algorithms, same inclusive-bound backward semantics

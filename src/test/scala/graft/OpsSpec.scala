@@ -443,6 +443,50 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 8L))
   }
 
+  test("semantic dedup: within-cluster τ-similar collapse keeps per-neighborhood minima") {
+    import spark.implicits._
+    def axis(dir: Int, scale: Float, jitter: Float): Seq[Float] =
+      (0 until 8).map(i => if (i == dir) scale else if (i == (dir + 1) % 8) jitter else 0f)
+    val rows = Seq(
+      (0L, axis(0, 1f, 0f)),
+      (1L, axis(0, 2f, 0f)),    // same direction as id 0 (cos = 1) → dropped
+      (2L, axis(0, 1f, 1f)),    // same cluster, cos = 1/√2 < 0.95 → survives
+      (10L, axis(3, 1f, 0f)),
+      (11L, axis(3, 3f, 0.01f)), // cos ≈ 1 with id 10 → dropped
+      (20L, axis(6, 1f, 0f)))    // lone cluster member → survives
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq.fill(8)(0.0).updated(0, 1.0)),
+      (1, Seq.fill(8)(0.0).updated(3, 1.0)),
+      (2, Seq.fill(8)(0.0).updated(6, 1.0)))
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents, 0.95)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.keySet == Set(0L, 2L, 10L, 20L), s"survivors: $got")
+    assert(got(0L) == 0 && got(2L) == 0 && got(10L) == 1 && got(20L) == 2)
+    // the pairwise pass is an equi-join on the cluster key — never a
+    // cross product, so cost is Σ|cluster|², not |corpus|²
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("semantic dedup greedy chain: a~b, b~c with a≁c leaves only the minimum") {
+    import spark.implicits._
+    // three unit vectors in the (0,1)-plane at 0°, 17°, 34°: adjacent
+    // cosines ≈ 0.956 ≥ τ, end-to-end ≈ 0.829 < τ. The policy drops any
+    // row with a τ-similar SMALLER id in its cluster: b drops via a,
+    // c drops via b (even though a≁c) — the greedy SemDeDup prune, not
+    // a transitive-closure collapse (that is d9's job on pair graphs).
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat) ++ Seq.fill(6)(0f)
+    }
+    val df = Seq((1L, at(0)), (2L, at(17)), (3L, at(34))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq.fill(8)(0.0).updated(0, 1.0)))
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", cents, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"survivors: $got")
+  }
+
   test("updateComponents folds new pairs into stored labels ≡ one-shot closure") {
     import spark.implicits._
     // both dispatch shapes: threshold 0 forces the touched-component
