@@ -797,6 +797,43 @@ object Dedup {
       Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol),
       idCol, vecCol, "cluster", tau)
 
+  /** Incremental fold of a crawl batch into a stored semantic-dedup
+    * labelling — the maintenance leg of [[semanticDedupWithin]] (the same
+    * relationship CuckooSeen.insert has to the seen filter): per batch the
+    * survivor predicate is re-evaluated ONLY for batch rows, never the
+    * stored corpus.
+    *
+    * Correctness hinges on the greedy rule's one-sided dependence: a row
+    * survives iff NO τ-similar SMALLER id shares its cluster, so when
+    * batch ids are strictly larger than stored ids (crawl batches are —
+    * ids are monotone), stored verdicts can never flip and a batch row's
+    * verdict needs (a) the stored rows of its own cluster — survivors AND
+    * dropped, a dropped row still suppresses later ids — and (b) its own
+    * batch's smaller ids. Fold ≡ one-shot over the union, exactly
+    * (OpsSpec pins it; the d20 oracle is d19's full-closure SQL).
+    *
+    * Scale shape: `storedAll` is the cluster-partitioned corpus on disk
+    * (the IVF layout), so the probe join is partition-pruned to the
+    * batch's touched clusters — O(|batch| × touched-cluster mass) per
+    * batch, vs O(Σ|cluster|²) for a full re-dedup. Returns the updated
+    * survivor set (stored survivors ∪ new batch survivors). */
+  def semanticDedupUpdate(storedAll: DataFrame, storedSurvivors: DataFrame,
+      batchAssigned: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    def shaped(df: DataFrame) = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+    val b = shaped(batchAssigned)
+    val simDrop = (left: DataFrame) =>
+      left.as("a").join(b.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        .filter(Similarity.cosine(col("a.v"), col("b.v")) >= tau)
+        .select(col("b.id").as("id"))
+    val dropped = simDrop(shaped(storedAll)).union(simDrop(b)).distinct()
+    val newSurvivors = b.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+    storedSurvivors.select(col(idCol), col("cluster")).unionByName(newSurvivors)
+  }
+
   /** Embedding cosine near-dup: normalized dot products above threshold,
     * restricted to LSH sign-buckets (random-hyperplane) so the self-join
     * never goes quadratic. */

@@ -67,6 +67,28 @@ object DataOpsQueries {
     mh.unionByName(sh)
   }
 
+  /** Shared derivation for d19/d20: the embeddings corpus ("stored") and
+    * its planted near-copies at ids +100000 ("batch" — strictly larger
+    * ids, the crawl-batch posture), each with the integer-exact cluster
+    * assignment (quantized vectors against the quantized vectors of the
+    * 16 smallest ids as fixed centroids — the i1 derivation, bit-exact in
+    * DuckDB). */
+  private def semanticAssigned(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"), quantized(col("embedding")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
+      .sortBy(_._1).toSeq
+    def assign(df: DataFrame) = df.withColumn("cluster",
+      graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+    (assign(emb), assign(planted))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------- dedup family --
     // d1 exact dedup lives in SparkEntry batch 1.
@@ -137,20 +159,26 @@ object DataOpsQueries {
     // the same argmin/(dist,cid)-tie kernel; the cosine prune then runs
     // on the raw float vectors exactly as d5 proved IEEE-identical.
     "d19_semantic_dedup" -> ((s, dir) => {
-      val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
-      val u = emb.union(planted)
-      val cents = u.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int"), quantized(col("embedding")))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
-        .sortBy(_._1).toSeq
-      val assigned = u.withColumn("cluster", graft.functions.graftfns.nearestCluster(
-        quantized(col("embedding")),
-        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
-      graft.ops.Dedup.semanticDedupWithin(assigned, "vec_id", "embedding", "cluster", 0.95)
+      val (stored, batch) = semanticAssigned(s, dir)
+      graft.ops.Dedup.semanticDedupWithin(
+        stored.unionByName(batch), "vec_id", "embedding", "cluster", 0.95)
+    }),
+
+    // Incremental semantic-dedup maintenance (the tenth maintenance leg):
+    // the SAME union arrives as two crawl batches — originals first, the
+    // planted near-copies (strictly larger ids, as crawl ids are) second —
+    // and the second batch FOLDS into the stored labelling via
+    // semanticDedupUpdate: only batch rows are re-judged, probed against
+    // the cluster-partitioned stored corpus (partition-pruned at scale).
+    // The oracle is d19's one-shot SQL over the whole union: green =
+    // fold ≡ batch, including batch rows suppressed by stored DROPPED
+    // rows (a dropped row still owns every later τ-similar id).
+    "d20_semantic_update" -> ((s, dir) => {
+      val (stored, batch) = semanticAssigned(s, dir)
+      val storedSurvivors = graft.ops.Dedup.semanticDedupWithin(
+        stored, "vec_id", "embedding", "cluster", 0.95)
+      graft.ops.Dedup.semanticDedupUpdate(
+        stored, storedSurvivors, batch, "vec_id", "embedding", 0.95)
     }),
 
     // Transitive closure over the multi-signal near-dup pair graph — the
@@ -888,12 +916,16 @@ object DataOpsQueries {
     // Image–caption alignment filter — the CLIP-score gate every
     // image+caption corpus runs before training (keep pairs whose image
     // and caption embeddings agree; LAION's cut is cos ≥ 0.28): a
-    // row-LOCAL cosine between two embedding columns, one codegen'd
-    // kernel per row, shuffle-free — the plan is a bare scan+filter no
-    // matter the corpus size. The caption embedding is derived
-    // deterministically (vec_id%4==0 → reversed vector: decorrelated,
-    // fails the gate; else the ×1.001f scaled vector: cos≈1, passes) so
-    // DuckDB rebuilds it exactly; the cosine arithmetic is the d5-proven
+    // row-LOCAL cosine between two embedding columns, shuffle-free — the
+    // plan is a bare scan+filter no matter the corpus size, and in the
+    // production posture (both embeddings STORED columns) the gate is one
+    // codegen'd vec_dot kernel per row. The caption embedding here is
+    // fixture synthesis — derived deterministically (vec_id%4==0 →
+    // reversed vector: decorrelated, fails the gate; else the ×1.001f
+    // scaled vector: cos≈1, passes) so DuckDB rebuilds it exactly; the
+    // derivation's HOF transform evaluates interpreted and is re-inlined
+    // by CollapseProject, a bounded fixture-only cost the stored-column
+    // posture never pays. Cosine arithmetic is the d5-proven
     // IEEE-identical left-fold.
     "m6_caption_alignment" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir)
@@ -1431,6 +1463,44 @@ object DataOpsQueries {
     })
   )
 
+  /** One-shot SemDeDup closure over the d19/d20 union — shared by d19
+    * (which computes it one-shot in Spark) and d20 (whose incremental fold
+    * must land on it exactly). Assignment via the i1 integer-dist² dot
+    * identity (exact — integer-valued doubles throughout); survivor = no
+    * τ-similar smaller id within the cluster. */
+  private val semanticDedupSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(embedding, e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id < 50),
+      |q AS (SELECT vec_id, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM u),
+      |c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q WHERE vec_id < 16),
+      |d AS (
+      |  SELECT q.vec_id, c.cid,
+      |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+      |      - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+      |      + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist
+      |  FROM q CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+      |  FROM d),
+      |asg AS (
+      |  SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS v, a.cid AS cluster
+      |  FROM q JOIN a ON a.vec_id = q.vec_id AND a.rk = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+      |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+      |SELECT s.vec_id, s.cluster FROM asg s
+      |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   /** Brute-force quantized top-10 cosine — shared by d6 (which computes it
     * brute-force in Spark) and d7/d8 (whose ANN probe budgets cover the
     * true top-10 at test scale, so their output must equal it exactly). */
@@ -1886,41 +1956,10 @@ object DataOpsQueries {
         |WHERE list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95""".stripMargin,
 
-    // same union as d5; assignment via the i1 integer-dist² dot identity
-    // (exact — everything is integer-valued doubles), survivor = no
-    // τ-similar smaller id within the cluster
-    "d19_semantic_dedup" ->
-      """WITH u AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000 AS vec_id,
-        |    list_transform(embedding, e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
-        |  FROM embeddings WHERE vec_id < 50),
-        |q AS (SELECT vec_id, embedding,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM u),
-        |c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q WHERE vec_id < 16),
-        |d AS (
-        |  SELECT q.vec_id, c.cid,
-        |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
-        |      - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
-        |      + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist
-        |  FROM q CROSS JOIN c),
-        |a AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-        |  FROM d),
-        |asg AS (
-        |  SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS v, a.cid AS cluster
-        |  FROM q JOIN a ON a.vec_id = q.vec_id AND a.rk = 1),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95)
-        |SELECT s.vec_id, s.cluster FROM asg s
-        |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "d19_semantic_dedup" -> semanticDedupSql,
+
+    // the fold must land exactly on the one-shot closure over the union
+    "d20_semantic_update" -> semanticDedupSql,
 
     "d7_embed_ann" -> bruteForceTopKSql,
     "d8_embed_ivf" -> bruteForceTopKSql,

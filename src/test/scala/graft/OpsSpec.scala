@@ -487,6 +487,43 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(1L), s"survivors: $got")
   }
 
+  test("semantic dedup incremental fold ≡ one-shot, incl. suppression by stored DROPPED rows") {
+    import spark.implicits._
+    // pseudo-random unit-ish vectors in a 2-plane per cluster so τ-similar
+    // pairs occur both within the stored half and across the split; ids
+    // are monotone across the split (the crawl-batch posture the fold
+    // requires). Includes the adversarial case: a stored row that was
+    // DROPPED must still suppress a later τ-similar batch row.
+    def vec(i: Long): Seq[Float] = {
+      val h = graft.imagecodec.ImageCodec.mix64(i * 37L + 5L)
+      val angle = math.toRadians((h % 12L).toDouble * 8.0) // 12 directions, 8° apart
+      val plane = 2 * ((i % 3L).toInt) // clusters live on planes (0,1),(2,3),(4,5)
+      Seq.tabulate(8)(d =>
+        if (d == plane) math.cos(angle).toFloat
+        else if (d == plane + 1) math.sin(angle).toFloat else 0f)
+    }
+    val all = (0L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq.fill(8)(0.0).updated(0, 1.0)),
+      (1, Seq.fill(8)(0.0).updated(2, 1.0)),
+      (2, Seq.fill(8)(0.0).updated(4, 1.0)))
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Ivf.assign(df, cents, "embedding")
+    val oneShot = Dedup.semanticDedupWithin(assigned(all), "vec_id", "embedding", "cluster", 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stored = assigned(all.filter(col("vec_id") < 60))
+    val batch = assigned(all.filter(col("vec_id") >= 60))
+    val storedSurv = Dedup.semanticDedupWithin(stored, "vec_id", "embedding", "cluster", 0.95)
+    val folded = Dedup.semanticDedupUpdate(stored, storedSurv, batch, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(folded == oneShot, s"fold ${folded.size} vs one-shot ${oneShot.size}: " +
+      s"extra=${folded -- oneShot} missing=${oneShot -- folded}")
+    // the construction actually exercises the adversarial case
+    val storedSurvIds = storedSurv.collect().map(_.getLong(0)).toSet
+    val storedDroppedExists = (0L until 60L).exists(i => !storedSurvIds.contains(i))
+    assert(storedDroppedExists, "fixture degenerate: no stored row was dropped")
+  }
+
   test("updateComponents folds new pairs into stored labels ≡ one-shot closure") {
     import spark.implicits._
     // both dispatch shapes: threshold 0 forces the touched-component
