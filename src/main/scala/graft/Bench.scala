@@ -10,7 +10,7 @@ import graft.pipeline.CrawlPipeline
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "frontier":{...},"frontier10x":{...},"maintenance":{...},"gate":{...},
   *  "band_maintenance":{...},"cc_scale":{...},"label_maintenance":{...},
-  *  "graph_scale":{...},"scaling":{...}}
+  *  "semdedup_maintenance":{...},"graph_scale":{...},"scaling":{...}}
   *
   *  - `queries`: per-operator wall seconds on SPARK_GRAFT_SF_DIR (driver
   *    contract; run after a warm-up pass so JIT/session setup is not
@@ -318,6 +318,46 @@ object Bench {
     s""""rounds":$rounds,"sec":$t,"edges_per_sec":${(nEdges / t).round}}"""
   }
 
+  private def semMaintSection(spark: SparkSession, benchUrls: Long): String = {
+    import org.apache.spark.sql.functions._
+    val nVec = benchUrls / 8
+    val nBatch = nVec / 32
+    val dims = 16
+    def vecs(from: Long, until: Long) = {
+      val dec = expr("id DIV 10")
+      val theta = (pmod(xxhash64(dec), lit(360L)).cast("double") * lit(math.Pi / 180))
+      val plane = pmod(dec, lit(8L)).cast("int")
+      spark.range(from, until).select(
+        col("id").as("vec_id"),
+        array((0 until dims).map { d =>
+          when(plane * 2 === d, cos(theta))
+            .when(plane * 2 + 1 === d, sin(theta))
+            .otherwise(lit(0.0)).cast("float")
+        }: _*).as("embedding"),
+        pmod(dec, lit(512L)).cast("int").as("cluster"))
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val stored = vecs(0, nVec).persist(lvl); stored.count()
+    val batch = vecs(nVec, nVec + nBatch).persist(lvl); batch.count()
+    val union = stored.unionByName(batch)
+    var rowsFull = 0L
+    var rowsFold = 0L
+    val tFull = min2 {
+      rowsFull = graft.ops.Dedup.semanticDedupWithin(
+        union, "vec_id", "embedding", "cluster", 0.95).count()
+    }
+    val storedSurv = graft.ops.Dedup.semanticDedupWithin(
+      stored, "vec_id", "embedding", "cluster", 0.95).persist(lvl)
+    storedSurv.count() // the stored labelling exists before batches fold in
+    val tFold = min2 {
+      rowsFold = graft.ops.Dedup.semanticDedupUpdate(
+        stored, storedSurv, batch, "vec_id", "embedding", 0.95).count()
+    }
+    stored.unpersist(); batch.unpersist(); storedSurv.unpersist()
+    s"""{"vectors":$nVec,"batch":$nBatch,"clusters":512,"full_sec":$tFull,""" +
+    s""""fold_sec":$tFold,"rows_full":$rowsFull,"rows_fold":$rowsFold}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -341,6 +381,13 @@ object Bench {
     // opt-in fast path for local iteration on the link-graph section alone
     if (sys.env.get("SPARK_GRAFT_GRAPH_ONLY").contains("1")) {
       println(s"""{"graph_scale":${graphScaleSection(spark, benchUrls)}}""")
+      spark.stop()
+      return
+    }
+    // opt-in fast path for local iteration on the semantic-dedup
+    // maintenance section alone
+    if (sys.env.get("SPARK_GRAFT_SEM_ONLY").contains("1")) {
+      println(s"""{"semdedup_maintenance":${semMaintSection(spark, benchUrls)}}""")
       spark.stop()
       return
     }
@@ -423,7 +470,7 @@ object Bench {
     // interference estimate of the engine's own throughput — and the two
     // cluster sizes ALTERNATE so a burst of external load cannot
     // systematically penalize one level.
-    def mainSections(): (String, String, String, String, String, String, String, String) = {
+    def mainSections(): (String, String, String, String, String, String, String, String, String) = {
     val fxMain = buildFixture(spark, benchUrls, cpus)
     frontierRun(spark, benchUrls / 10, cpus, fxMain) // warm-up, untimed
     // 4 reps, best-of: single-shot timings on the shared host vary up to
@@ -668,6 +715,19 @@ object Bench {
       s""""split_sec":$tSplit,"rows_full":$rowsFull,"rows_split":$rowsSplit}"""
     }
 
+    // -- semantic-dedup maintenance: fold is O(batch × touched clusters) --
+    // The SemDeDup twin of the label/band/seen maintenance sections:
+    // folding a crawl batch of embeddings into a stored survivor
+    // labelling (Dedup.semanticDedupUpdate — only batch rows re-judged,
+    // probed against the stored rows of their own clusters) vs the naive
+    // full re-dedup over the union (O(Σ|cluster|²) per batch). Vectors
+    // are unit 2-plane directions: each decade of ids shares a direction
+    // (cos = 1 within, so every non-min decade member drops) and a
+    // cluster, so the survivor pass has real collapse work in every
+    // cluster. rows_full == rows_fold re-checks fold ≡ one-shot at bench
+    // scale (OpsSpec proves it at spec scale; the d20 oracle cross-engine).
+    val semMaint = semMaintSection(spark, benchUrls)
+
     // -- graph_scale: the LinkGraph DATASET engines at million-edge scale -
     // g1/g2 run the RDD engine at query scale (the measured small-graph
     // winner); this section drives the SAME operators past
@@ -680,14 +740,15 @@ object Bench {
     val graphScale = graphScaleSection(spark, benchUrls)
     checkpoint(s""","frontier":$frontierJson,"frontier10x":$frontier10x,""" +
       s""""maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,""" +
-      s""""cc_scale":$ccScale,"label_maintenance":$labelMaint,"graph_scale":$graphScale""")
+      s""""cc_scale":$ccScale,"label_maintenance":$labelMaint,""" +
+      s""""semdedup_maintenance":$semMaint,"graph_scale":$graphScale""")
     (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint,
-      graphScale)
+      semMaint, graphScale)
     } // mainSections
 
     val (frontierJson, frontier10x, maintenance, gateShapes, bandMaint, ccScale, labelMaint,
-      graphScale) =
-      if (scaleOnly) ("null", "null", "null", "null", "null", "null", "null", "null")
+      semMaint, graphScale) =
+      if (scaleOnly) ("null", "null", "null", "null", "null", "null", "null", "null", "null")
       else mainSections()
     spark.stop()
 
@@ -851,7 +912,7 @@ object Bench {
       s""""external_runnable":[${runnables.mkString(",")}],""" +
       s""""external_loadavg":[${loads.map(l => f"$l%.1f").mkString(",")}]}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale,"label_maintenance":$labelMaint,"graph_scale":$graphScale}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","frontier":$frontier,"frontier10x":$frontier10x,"scaling":$scaling,"maintenance":$maintenance,"gate":$gateShapes,"band_maintenance":$bandMaint,"cc_scale":$ccScale,"label_maintenance":$labelMaint,"semdedup_maintenance":$semMaint,"graph_scale":$graphScale}"""
     println(json)
     // belt-and-braces for log-wrapped stdout: the bare line is also left on
     // disk where the driver (or a human) can pick it up

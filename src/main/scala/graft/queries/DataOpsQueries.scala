@@ -1445,6 +1445,39 @@ object DataOpsQueries {
           col("rk"), col("shard_id"))
     }),
 
+    // The multimodal-corpus delivery chain over the round's new operators,
+    // composed in ONE lazy plan (the e-family contract — no driver
+    // round-trips between stages): CLIP-score alignment gate (m6's
+    // row-local cosine ≥ 0.28) → SemDeDup within the aligned survivors
+    // (d19's cluster-bounded τ-prune; centroids from the RAW corpus — the
+    // index is corpus state, not gate output) → token-count quality cut on
+    // the joined caption documents. Alignment and assignment are row-local
+    // (no shuffle); the chain's only exchanges are the semantic self-join
+    // on cluster and the survivor↔documents equi-join.
+    "e8_aligned_corpus" -> ((s, dir) => {
+      val emb = Fixture.embeddings(s, dir)
+      val capv = when(col("vec_id") % 4 === 0, reverse(col("embedding")))
+        .otherwise(transform(col("embedding"), e => e * lit(1.001f)))
+      val aligned = emb
+        .filter(graft.ops.Similarity.cosine(col("embedding"), capv) >= 0.28)
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int"), quantized(col("embedding")))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
+        .sortBy(_._1).toSeq
+      val assigned = aligned.withColumn("cluster",
+        graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
+          cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+      val survivors = graft.ops.Dedup.semanticDedupWithin(
+        assigned, "vec_id", "embedding", "cluster", 0.95)
+      val docs = Fixture.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      survivors.join(docs, survivors("vec_id") === docs("doc_id"))
+        .filter(col("n_tokens") >= 40)
+        .select(col("doc_id"), col("cluster"), col("n_tokens"))
+    }),
+
     // Deterministic epoch shuffle — the training-order step: a seeded
     // cross-engine hash of (doc_id, epoch) defines a full permutation of
     // the corpus, ranked WITHOUT the single-task global window
@@ -1960,6 +1993,56 @@ object DataOpsQueries {
 
     // the fold must land exactly on the one-shot closure over the union
     "d20_semantic_update" -> semanticDedupSql,
+
+    // the new-operator delivery chain: m6's gate, d19's closure (over the
+    // RAW corpus, no planted union), the t3 token count — each stage the
+    // proven twin, chained
+    "e8_aligned_corpus" ->
+      s"""WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(CASE WHEN vec_id % 4 = 0 THEN list_reverse(embedding)
+        |         ELSE list_transform(embedding,
+        |                e -> CAST(e * CAST(1.001 AS FLOAT) AS FLOAT)) END
+        |      AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |aligned AS (
+        |  SELECT vec_id, embedding FROM p
+        |  WHERE list_dot_product(v, cv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) >= 0.28),
+        |q AS (SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM aligned),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (
+        |  SELECT q.vec_id, c.cid,
+        |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+        |      - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+        |      + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dist
+        |  FROM q CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        |  FROM d),
+        |asg AS (
+        |  SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS v, a.cid AS cluster
+        |  FROM q JOIN a ON a.vec_id = q.vec_id AND a.rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+        |surv AS (
+        |  SELECT s.vec_id, s.cluster FROM asg s
+        |  WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)),
+        |toks AS (SELECT doc_id, ${TextOracle.nTokensSql} AS n_tokens FROM documents)
+        |SELECT t.doc_id, s.cluster, t.n_tokens
+        |FROM surv s JOIN toks t ON t.doc_id = s.vec_id
+        |WHERE t.n_tokens >= 40""".stripMargin,
 
     "d7_embed_ann" -> bruteForceTopKSql,
     "d8_embed_ivf" -> bruteForceTopKSql,
