@@ -65,7 +65,11 @@ object GraftExtensions {
     ("host_of", "host_of(url) - lowercased host component of a url",
       args => HostOfExpr(args.head)),
     ("repetition_stats", "repetition_stats(text) - [n_words, n_distinct_words, max_word_count, n_bigrams, n_distinct_bigrams, max_bigram_count] repetition metrics",
-      args => RepetitionStatsExpr(args.head)))
+      args => RepetitionStatsExpr(args.head)),
+    ("frame_count", "frame_count(video) - frame count from a GVID container header",
+      args => FrameCountExpr(args.head)),
+    ("frame_at", "frame_at(video, i) - encoded frame i of a GVID container (seek-index slice)",
+      args => FrameAtExpr(args.head, args(1))))
   // Not SQL-registered, by design: the broadcast probes (BloomProbeExpr/
   // CuckooProbeExpr) close over a Broadcast handle and the shard-as-column
   // probes carry a gate epoch — both are plan-construction artifacts with

@@ -111,6 +111,41 @@ case class PsnrExpr(left: Expression, right: Expression)
   override def prettyName: String = "psnr"
 }
 
+/** frame_count(video): frame count from a GVID container header — an O(1)
+  * header read, no decode (VideoCodec layout doc). */
+case class FrameCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    graft.imagecodec.VideoCodec.frameCountOf(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.imagecodec.VideoCodec.frameCountOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): FrameCountExpr = copy(child = newChild)
+  override def prettyName: String = "frame_count"
+}
+
+/** frame_at(video, i): encoded frame `i` of a GVID container — a seek-index
+  * lookup + slice (the container carries absolute offsets like any real
+  * media index), never a scan of preceding frames. The result is an
+  * ordinary encoded image, so every per-frame kernel (decode_width, phash,
+  * resize_nn, …) composes directly on top. */
+case class FrameAtExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (BINARY, INT)")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(video: Any, i: Any): Any =
+    graft.imagecodec.VideoCodec.frameAt(video.asInstanceOf[Array[Byte]], i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, i) => s"graft.imagecodec.VideoCodec.frameAt($v, $i)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FrameAtExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "frame_at"
+}
+
 /** bloom_might_contain(blob, key): membership probe against a serialized
   * Bloom shard. The partitioned gate path caches deserialized shards per
   * task (BloomSeen.gate); this expression is the small-shard/broadcast
@@ -450,6 +485,9 @@ object graftfns {
     Bridge.column(CuckooMightContainExpr(Bridge.expression(blob), Bridge.expression(key)))
   def resizeNN(bytes: Column, w: Column, h: Column): Column =
     Bridge.column(ResizeExpr(Bridge.expression(bytes), Bridge.expression(w), Bridge.expression(h)))
+  def frameCount(c: Column): Column = Bridge.column(FrameCountExpr(Bridge.expression(c)))
+  def frameAt(video: Column, i: Column): Column =
+    Bridge.column(FrameAtExpr(Bridge.expression(video), Bridge.expression(i)))
   def padImage(bytes: Column, packedBorders: Column): Column =
     Bridge.column(PadImageExpr(Bridge.expression(bytes), Bridge.expression(packedBorders)))
   def letterbox(bytes: Column): Column =

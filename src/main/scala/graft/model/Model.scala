@@ -22,6 +22,16 @@ final case class ImageDoc(
     caption: String,
     phash: Long)
 
+/** A video row: the same opaque-binary + typed-metadata contract as
+  * [[ImageDoc]] (BASELINE.json input_hint), with the payload a GVID
+  * container ([[graft.imagecodec.VideoCodec]]) instead of a single
+  * encoded image. */
+final case class VideoDoc(
+    video_id: String,
+    bytes: Array[Byte],
+    nframes: Int,
+    fps: Int)
+
 /** One frontier entry = one URL we may fetch.
   * Reference analog: an element of the ordered release-file URL list
   * (csinsights/client/s2client.py:146-157), where `seed_rank` is the

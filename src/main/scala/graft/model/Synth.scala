@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import graft.imagecodec.ImageCodec
+import graft.imagecodec.{ImageCodec, VideoCodec}
 
 /** Deterministic synthetic data for the crawl engine (FIXTURES.md §1-4).
   * Seeded, no wall clock, no external data — every run is bit-reproducible.
@@ -100,6 +100,30 @@ object Synth {
   def imageDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[ImageDoc] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map(r => makeImageDoc(r))
+  }
+
+  /** Frame metadata closed forms for video `i` — the m7 oracle re-derives
+    * these in SQL, so they must stay integer-only arithmetic. */
+  def videoFrameCountOf(i: Long): Int = 3 + (i % 6).toInt
+  def videoFrameFmtOf(i: Long, f: Int): String = fmts(((i + f) % 3).toInt)
+  def videoFrameWOf(i: Long, f: Int): Int = dims(((i + 2L * f) % 4).toInt)
+  def videoFrameHOf(i: Long, f: Int): Int = dims(((i + f + 1L) % 4).toInt)
+
+  def makeVideoDoc(i: Long): VideoDoc = {
+    val n = videoFrameCountOf(i)
+    val frames = (0 until n).map { f =>
+      val w = videoFrameWOf(i, f); val h = videoFrameHOf(i, f)
+      val px = ImageCodec.syntheticPixels(ImageCodec.mix64(Seed ^ (i * 131 + f)), w, h)
+      ImageCodec.encode(px, w, h, videoFrameFmtOf(i, f))
+    }
+    VideoDoc(s"vid${imageIdOf(i).drop(3)}", VideoCodec.mux(frames, 10), n, 10)
+  }
+
+  /** Video rows for the frame-sampling plumbing (m7): GVID payloads whose
+    * per-frame dims/format follow the closed forms above. */
+  def videoDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[VideoDoc] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => makeVideoDoc(i))
   }
 
   /** Crawl seed list: url + seed_rank (= the reference's sequential fetch

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.graftfns
+
+/** Video frame sampling — the multimodal plumbing for video training
+  * corpora (builder prompt: decode / feature-extract / resize /
+  * frame-sample; the image legs are m1–m5, this is the frame axis).
+  *
+  * Policy: uniform temporal sampling, the standard video-model recipe —
+  * take m = min(k, n) frames at indices floor(t·n/m), t ∈ [0, m): the
+  * first frame is always index 0, indices are strictly increasing, and
+  * short clips (n ≤ k) contribute every frame. Integer-only arithmetic so
+  * the index choice is engine-portable (the m7 oracle re-derives it in
+  * SQL).
+  *
+  * Scale shape: entirely row-local — header read (frame_count), a lazily
+  * generated index array, and per-index O(1) seek-slice extraction
+  * ([[graft.imagecodec.VideoCodec.frameAt]]); the plan is scan → generate
+  * → project with NO exchange, so it rides whatever partitioning the
+  * video table already has and video bytes are never shuffled (same
+  * bytes-stay-put contract as the bucketed image store). Output size is
+  * bounded by k×(per-frame bytes), not by clip length — a long clip costs
+  * the same downstream as a short one. */
+object VideoOps {
+
+  /** Explode `bytesCol` GVID payloads into ≤ k uniformly-sampled frames.
+    * Keeps every input column and adds: `n` (clip frame count), `t`
+    * (sample ordinal), `frame_idx` (chosen frame), `frame` (the encoded
+    * frame, an ordinary image payload for the per-frame kernels). */
+  def sampleFrames(videos: DataFrame, bytesCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val keep = videos.columns.map(col)
+    videos
+      .withColumn("n", graftfns.frameCount(col(bytesCol)))
+      .withColumn("__m", least(col("n"), lit(k)).cast("long"))
+      .select(keep ++ Seq(col("n"), col("__m"),
+        posexplode(sequence(lit(0L), col("__m") - 1L))): _*)
+      .withColumnRenamed("col", "t")
+      .withColumn("frame_idx", expr("(t * cast(n as bigint)) div __m"))
+      .withColumn("frame", graftfns.frameAt(col(bytesCol), col("frame_idx").cast("int")))
+      .drop("pos", "__m")
+  }
+}

@@ -913,6 +913,26 @@ object DataOpsQueries {
           g.sniffFormat(col("thumb")).as("thumb_fmt"))
     }),
 
+    // Video frame sampling — the frame axis of the multimodal plumbing
+    // (VideoOps.sampleFrames): uniform temporal sampling of ≤4 frames per
+    // GVID clip via header read + seek-index slice, then the REAL decode
+    // kernels on each extracted frame. Entirely row-local (scan → generate
+    // → project, no exchange — VideoSpec locks the plan); the oracle
+    // re-derives the sampling policy and the fixture's planted per-frame
+    // metadata in closed form, so a wrong index choice, a mis-sliced
+    // frame, or a broken per-frame decode all hash-mismatch.
+    "m7_frame_sample" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      val vids = graft.model.Synth.videoDocs(s, n, 32).toDF()
+        .select(substring(col("video_id"), 4, 8).cast("long").as("id"), col("bytes"))
+      graft.ops.VideoOps.sampleFrames(vids, "bytes", 4)
+        .select(col("id"), col("t"), col("frame_idx"),
+          g.decodeWidth(col("frame")).as("frame_w"),
+          g.decodeHeight(col("frame")).as("frame_h"),
+          g.sniffFormat(col("frame")).as("frame_fmt"))
+    }),
+
     // Image–caption alignment filter — the CLIP-score gate every
     // image+caption corpus runs before training (keep pairs whose image
     // and caption embeddings agree; LAION's cut is cos ≥ 0.28): a
@@ -2318,6 +2338,21 @@ object DataOpsQueries {
         |        ELSE 64 END) // 2 AS INTEGER) AS thumb_h,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'xjpg' END AS thumb_fmt
         |FROM meta""".stripMargin,
+
+    // the uniform-sampling policy (m = min(4, n), idx = t*n // m) and the
+    // video fixture's planted per-frame dims/format, both in closed form
+    "m7_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS id, 3 + doc_id % 6 AS n FROM documents),
+        |s AS (SELECT id, n, CASE WHEN n < 4 THEN n ELSE 4 END AS m FROM v),
+        |f AS (SELECT id, n, m, t FROM s, LATERAL (SELECT unnest(range(m)) AS t) g)
+        |SELECT id, t, (t * n) // m AS frame_idx,
+        |  CAST(CASE (id + 2 * ((t * n) // m)) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |       WHEN 2 THEN 32 ELSE 64 END AS INTEGER) AS frame_w,
+        |  CAST(CASE (id + ((t * n) // m) + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |       WHEN 2 THEN 32 ELSE 64 END AS INTEGER) AS frame_h,
+        |  CASE (id + ((t * n) // m)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |       ELSE 'xjpg' END AS frame_fmt
+        |FROM f""".stripMargin,
 
     // same deterministic caption-embedding derivation; the cosine is the
     // d5-proven IEEE-identical left-fold in doubles

@@ -61,6 +61,17 @@ class ExportSpec extends SparkSpec {
     assert(row.getAs[Int]("rw") == 8)
     assert(row.getAs[Int]("lb") == graft.imagecodec.ImageCodec.packBorders(1, 2, 3, 4))
     assert(row.getAs[Int]("cw") == graft.model.Synth.wOf(3))
+    // video frame kernels: SQL extraction must agree with the fixture's
+    // planted per-frame metadata
+    graft.model.Synth.videoDocs(s2, 5, 1).toDF().createOrReplaceTempView("video_docs")
+    val vrow = s2.sql(
+      """SELECT frame_count(bytes) AS n,
+        |  decode_width(frame_at(bytes, 1)) AS fw,
+        |  sniff_format(frame_at(bytes, 1)) AS ff
+        |FROM video_docs WHERE video_id = 'vid00000003'""".stripMargin).head()
+    assert(vrow.getAs[Int]("n") == graft.model.Synth.videoFrameCountOf(3))
+    assert(vrow.getAs[Int]("fw") == graft.model.Synth.videoFrameWOf(3, 1))
+    assert(vrow.getAs[String]("ff") == graft.model.Synth.videoFrameFmtOf(3, 1))
     // signature/similarity kernels are SQL-callable too
     val sig = s2.sql(
       """SELECT shingles(split('a b c d', ' '), 3) AS sh,

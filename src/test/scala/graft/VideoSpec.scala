@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.imagecodec.{ImageCodec, VideoCodec}
+import graft.model.Synth
+import graft.ops.VideoOps
+
+class VideoSpec extends SparkSpec {
+
+  test("GVID mux/frameAt round-trips every frame bit-exactly") {
+    (0L until 40L).foreach { i =>
+      val doc = Synth.makeVideoDoc(i)
+      assert(VideoCodec.frameCountOf(doc.bytes) == doc.nframes)
+      assert(VideoCodec.fpsOf(doc.bytes) == doc.fps)
+      (0 until doc.nframes).foreach { f =>
+        val frame = VideoCodec.frameAt(doc.bytes, f)
+        val w = Synth.videoFrameWOf(i, f); val h = Synth.videoFrameHOf(i, f)
+        val expected = ImageCodec.encode(
+          ImageCodec.syntheticPixels(ImageCodec.mix64(Synth.Seed ^ (i * 131 + f)), w, h),
+          w, h, Synth.videoFrameFmtOf(i, f))
+        assert(java.util.Arrays.equals(frame, expected), s"video $i frame $f")
+        assert(ImageCodec.decodeDims(frame) == ((w, h)))
+      }
+      intercept[IllegalArgumentException](VideoCodec.frameAt(doc.bytes, doc.nframes))
+      intercept[IllegalArgumentException](VideoCodec.frameAt(doc.bytes, -1))
+    }
+  }
+
+  test("sampleFrames: uniform policy — first frame kept, strictly increasing, short clips complete") {
+    val df = VideoOps.sampleFrames(Synth.videoDocs(spark, 60, 4).toDF(), "bytes", 4)
+      .select(col("video_id"), col("nframes"), col("t"), col("frame_idx"))
+      .collect()
+      .groupBy(_.getString(0))
+    df.foreach { case (vid, rows) =>
+      val byT = rows.sortBy(_.getLong(2))
+      val n = byT.head.getInt(1)
+      val idxs = byT.map(_.getLong(3))
+      assert(idxs.head == 0L, s"$vid must sample frame 0")
+      assert(idxs.length == math.min(4, n), s"$vid sampled ${idxs.length} of n=$n")
+      assert(idxs.zip(idxs.tail).forall { case (a, b) => a < b }, s"$vid not increasing")
+      assert(idxs.forall(_ < n), s"$vid index out of clip range")
+      if (n <= 4) assert(idxs.sameElements(0L until n), s"$vid short clip must keep all")
+    }
+    assert(df.size == 60)
+  }
+
+  test("sampleFrames + per-frame decode matches the planted metadata, shuffle-free plan") {
+    val g = graft.functions.graftfns
+    val out = VideoOps.sampleFrames(
+        Synth.videoDocs(spark, 50, 4).toDF().select(
+          substring(col("video_id"), 4, 8).cast("long").as("id"), col("bytes")),
+        "bytes", 4)
+      .select(col("id"), col("frame_idx"),
+        g.decodeWidth(col("frame")).as("w"), g.decodeHeight(col("frame")).as("h"),
+        g.sniffFormat(col("frame")).as("fmt"))
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"frame sampling must not shuffle:\n$plan")
+    out.collect().foreach { r =>
+      val i = r.getLong(0); val f = r.getLong(1).toInt
+      assert(r.getInt(2) == Synth.videoFrameWOf(i, f))
+      assert(r.getInt(3) == Synth.videoFrameHOf(i, f))
+      assert(r.getString(4) == Synth.videoFrameFmtOf(i, f))
+    }
+  }
+}
