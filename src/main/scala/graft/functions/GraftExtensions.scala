@@ -69,7 +69,9 @@ object GraftExtensions {
     ("frame_count", "frame_count(video) - frame count from a GVID container header",
       args => FrameCountExpr(args.head)),
     ("frame_at", "frame_at(video, i) - encoded frame i of a GVID container (seek-index slice)",
-      args => FrameAtExpr(args.head, args(1))))
+      args => FrameAtExpr(args.head, args(1))),
+    ("audio_stats", "audio_stats(audio) - [sample_rate, n_samples, duration_ms, peak_abs, sum_sq] from a GAUD PCM payload",
+      args => AudioStatsExpr(args.head)))
   // Not SQL-registered, by design: the broadcast probes (BloomProbeExpr/
   // CuckooProbeExpr) close over a Broadcast handle and the shard-as-column
   // probes carry a gate epoch — both are plan-construction artifacts with

@@ -146,6 +146,25 @@ case class FrameAtExpr(left: Expression, right: Expression)
   override def prettyName: String = "frame_at"
 }
 
+/** audio_stats(audio): `[sample_rate, n_samples, duration_ms, peak_abs,
+  * sum_sq]` from a GAUD PCM payload — one integer-exact fold over the
+  * real sample stream (AudioCodec layout doc), so byte-order or slicing
+  * bugs change the values and fail the closed-form oracle. */
+case class AudioStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.imagecodec.AudioCodec.statsOf(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(graft.imagecodec.AudioCodec.statsOf($c))")
+  override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr = copy(child = newChild)
+  override def prettyName: String = "audio_stats"
+}
+
 /** bloom_might_contain(blob, key): membership probe against a serialized
   * Bloom shard. The partitioned gate path caches deserialized shards per
   * task (BloomSeen.gate); this expression is the small-shard/broadcast
@@ -488,6 +507,7 @@ object graftfns {
   def frameCount(c: Column): Column = Bridge.column(FrameCountExpr(Bridge.expression(c)))
   def frameAt(video: Column, i: Column): Column =
     Bridge.column(FrameAtExpr(Bridge.expression(video), Bridge.expression(i)))
+  def audioStats(c: Column): Column = Bridge.column(AudioStatsExpr(Bridge.expression(c)))
   def padImage(bytes: Column, packedBorders: Column): Column =
     Bridge.column(PadImageExpr(Bridge.expression(bytes), Bridge.expression(packedBorders)))
   def letterbox(bytes: Column): Column =

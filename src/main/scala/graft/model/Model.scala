@@ -32,6 +32,14 @@ final case class VideoDoc(
     nframes: Int,
     fps: Int)
 
+/** An audio row: the audio leg of the same contract — a GAUD PCM payload
+  * ([[graft.imagecodec.AudioCodec]]) plus typed metadata. */
+final case class AudioDoc(
+    audio_id: String,
+    bytes: Array[Byte],
+    sample_rate: Int,
+    n_samples: Int)
+
 /** One frontier entry = one URL we may fetch.
   * Reference analog: an element of the ordered release-file URL list
   * (csinsights/client/s2client.py:146-157), where `seed_rank` is the

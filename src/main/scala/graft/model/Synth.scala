@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import graft.imagecodec.{ImageCodec, VideoCodec}
+import graft.imagecodec.{AudioCodec, ImageCodec, VideoCodec}
 
 /** Deterministic synthetic data for the crawl engine (FIXTURES.md §1-4).
   * Seeded, no wall clock, no external data — every run is bit-reproducible.
@@ -124,6 +124,30 @@ object Synth {
   def videoDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[VideoDoc] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map(i => makeVideoDoc(i))
+  }
+
+  /** Audio closed forms for row `i` (the m8 oracle re-derives these):
+    * the waveform is a ±amp square wave, so peak = amp and
+    * sum_sq = n·amp² exactly; the half-period varies per row to exercise
+    * real PCM decoding without entering the closed forms. */
+  def audioSampleRateOf(i: Long): Int = Array(8000, 16000, 44100, 48000)((i % 4).toInt)
+  def audioNumSamplesOf(i: Long): Int = 256 + (i % 7).toInt * 64
+  def audioAmpOf(i: Long): Int = 100 + (i % 50).toInt * 10
+
+  def makeAudioDoc(i: Long): AudioDoc = {
+    val n = audioNumSamplesOf(i); val amp = audioAmpOf(i)
+    val halfPeriod = 2 + (i % 3).toInt
+    val samples = Array.tabulate(n) { j =>
+      (if ((j / halfPeriod) % 2 == 0) amp else -amp).toShort
+    }
+    AudioDoc(s"aud${imageIdOf(i).drop(3)}",
+      AudioCodec.mux(samples, audioSampleRateOf(i)), audioSampleRateOf(i), n)
+  }
+
+  /** Audio rows for the feature-extraction plumbing (m8). */
+  def audioDocs(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[AudioDoc] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => makeAudioDoc(i))
   }
 
   /** Crawl seed list: url + seed_rank (= the reference's sequential fetch

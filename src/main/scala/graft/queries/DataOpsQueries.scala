@@ -933,6 +933,24 @@ object DataOpsQueries {
           g.sniffFormat(col("frame")).as("frame_fmt"))
     }),
 
+    // Audio feature extraction — the audio leg of the multimodal trio:
+    // one integer-exact audio_stats fold over the REAL PCM stream per row
+    // (codegen'd kernel, row-local, shuffle-free). The fixture's square
+    // waveform gives peak and energy closed forms (±amp everywhere →
+    // peak = amp, sum_sq = n·amp²), so a byte-order, header-offset, or
+    // slicing bug in the decode changes the values and hash-mismatches.
+    "m8_audio_features" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val g = graft.functions.graftfns
+      graft.model.Synth.audioDocs(s, n, 32).toDF()
+        .select(substring(col("audio_id"), 4, 8).cast("long").as("id"),
+          g.audioStats(col("bytes")).as("st"))
+        .select(col("id"),
+          col("st")(0).as("sample_rate"), col("st")(1).as("n_samples"),
+          col("st")(2).as("duration_ms"), col("st")(3).as("peak_abs"),
+          col("st")(4).as("sum_sq"))
+    }),
+
     // Image–caption alignment filter — the CLIP-score gate every
     // image+caption corpus runs before training (keep pairs whose image
     // and caption embeddings agree; LAION's cut is cos ≥ 0.28): a
@@ -2353,6 +2371,22 @@ object DataOpsQueries {
         |  CASE (id + ((t * n) // m)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |       ELSE 'xjpg' END AS frame_fmt
         |FROM f""".stripMargin,
+
+    // the audio fixture's planted header fields and square-wave energy
+    // closed forms (peak = amp, sum_sq = n·amp²); duration is the same
+    // floor division the kernel computes
+    "m8_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sr,
+        |    CAST(256 + (doc_id % 7) * 64 AS BIGINT) AS n,
+        |    CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS amp
+        |  FROM documents)
+        |SELECT id, sr AS sample_rate, n AS n_samples,
+        |  (n * 1000) // sr AS duration_ms, amp AS peak_abs,
+        |  n * amp * amp AS sum_sq
+        |FROM a""".stripMargin,
 
     // same deterministic caption-embedding derivation; the cosine is the
     // d5-proven IEEE-identical left-fold in doubles

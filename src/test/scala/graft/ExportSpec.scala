@@ -72,6 +72,12 @@ class ExportSpec extends SparkSpec {
     assert(vrow.getAs[Int]("n") == graft.model.Synth.videoFrameCountOf(3))
     assert(vrow.getAs[Int]("fw") == graft.model.Synth.videoFrameWOf(3, 1))
     assert(vrow.getAs[String]("ff") == graft.model.Synth.videoFrameFmtOf(3, 1))
+    // audio kernel: SQL fold must match the codec's direct fold
+    graft.model.Synth.audioDocs(s2, 5, 1).toDF().createOrReplaceTempView("audio_docs")
+    val arow = s2.sql(
+      "SELECT audio_stats(bytes) AS st FROM audio_docs WHERE audio_id = 'aud00000003'").head()
+    assert(arow.getSeq[Long](0) ==
+      graft.imagecodec.AudioCodec.statsOf(graft.model.Synth.makeAudioDoc(3L).bytes).toSeq)
     // signature/similarity kernels are SQL-callable too
     val sig = s2.sql(
       """SELECT shingles(split('a b c d', ' '), 3) AS sh,
