@@ -36,6 +36,9 @@ object VideoOps {
     videos
       .withColumn("n", graftfns.frameCount(col(bytesCol)))
       .withColumn("__m", least(col("n"), lit(k)).cast("long"))
+      // an empty clip contributes no frames — without this guard Spark's
+      // sequence(0, m-1) would DESCEND for m = 0 and emit two bogus rows
+      .filter(col("__m") > 0L)
       .select(keep ++ Seq(col("n"), col("__m"),
         posexplode(sequence(lit(0L), col("__m") - 1L))): _*)
       .withColumnRenamed("col", "t")

@@ -47,6 +47,15 @@ class VideoSpec extends SparkSpec {
     assert(df.size == 60)
   }
 
+  test("sampleFrames: an empty clip contributes no frames (no descending-sequence rows)") {
+    import spark.implicits._
+    val empty = graft.model.VideoDoc("vid_empty", VideoCodec.mux(Seq.empty, 10), 0, 10)
+    val one = Synth.makeVideoDoc(7L)
+    val out = VideoOps.sampleFrames(Seq(empty, one).toDS().toDF(), "bytes", 4).collect()
+    assert(out.forall(_.getAs[String]("video_id") != "vid_empty"))
+    assert(out.length == math.min(4, one.nframes))
+  }
+
   test("sampleFrames + per-frame decode matches the planted metadata, shuffle-free plan") {
     val g = graft.functions.graftfns
     val out = VideoOps.sampleFrames(
