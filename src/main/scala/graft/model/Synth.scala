@@ -102,21 +102,34 @@ object Synth {
     spark.range(0, n, 1, partitions).map(r => makeImageDoc(r))
   }
 
-  /** Frame metadata closed forms for video `i` — the m7 oracle re-derives
-    * these in SQL, so they must stay integer-only arithmetic. */
-  def videoFrameCountOf(i: Long): Int = 3 + (i % 6).toInt
-  def videoFrameFmtOf(i: Long, f: Int): String = fmts(((i + f) % 3).toInt)
-  def videoFrameWOf(i: Long, f: Int): Int = dims(((i + 2L * f) % 4).toInt)
-  def videoFrameHOf(i: Long, f: Int): Int = dims(((i + f + 1L) % 4).toInt)
+  /** ~2.5% same-content video re-posts (the d21 plant, mirroring the
+    * image table's [[dupSourceOf]]): every 40th video re-muxes the FRAMES
+    * of the video 20 before it in a different container fps — the payload
+    * bytes differ (the fps header word), so byte-level exact dedup misses
+    * the pair, while frame-fingerprint dedup must recover it. */
+  def videoDupSourceOf(i: Long): Long = if (i % 40 == 39 && i >= 20) i - 20 else i
+
+  /** Frame metadata closed forms for video `i` — the m7/d21 oracles
+    * re-derive these in SQL, so they must stay integer-only arithmetic
+    * (all through the dup-source indirection: a re-post carries its
+    * source's frames). */
+  def videoFrameCountOf(i: Long): Int = 3 + (videoDupSourceOf(i) % 6).toInt
+  def videoFrameFmtOf(i: Long, f: Int): String = fmts(((videoDupSourceOf(i) + f) % 3).toInt)
+  def videoFrameWOf(i: Long, f: Int): Int = dims(((videoDupSourceOf(i) + 2L * f) % 4).toInt)
+  def videoFrameHOf(i: Long, f: Int): Int = dims(((videoDupSourceOf(i) + f + 1L) % 4).toInt)
+  def videoPixelSeedOf(i: Long, f: Int): Long =
+    ImageCodec.mix64(Seed ^ (videoDupSourceOf(i) * 131 + f))
+  def videoFpsOf(i: Long): Int = if (videoDupSourceOf(i) == i) 10 else 25
 
   def makeVideoDoc(i: Long): VideoDoc = {
     val n = videoFrameCountOf(i)
     val frames = (0 until n).map { f =>
       val w = videoFrameWOf(i, f); val h = videoFrameHOf(i, f)
-      val px = ImageCodec.syntheticPixels(ImageCodec.mix64(Seed ^ (i * 131 + f)), w, h)
+      val px = ImageCodec.syntheticPixels(videoPixelSeedOf(i, f), w, h)
       ImageCodec.encode(px, w, h, videoFrameFmtOf(i, f))
     }
-    VideoDoc(s"vid${imageIdOf(i).drop(3)}", VideoCodec.mux(frames, 10), n, 10)
+    VideoDoc(s"vid${imageIdOf(i).drop(3)}", VideoCodec.mux(frames, videoFpsOf(i)),
+      n, videoFpsOf(i))
   }
 
   /** Video rows for the frame-sampling plumbing (m7): GVID payloads whose

@@ -46,4 +46,31 @@ object VideoOps {
       .withColumn("frame", graftfns.frameAt(col(bytesCol), col("frame_idx").cast("int")))
       .drop("pos", "__m")
   }
+
+  /** Video near-dup pairs by sampled-frame phash fingerprint — the video
+    * leg of the dedup family (exact: Dedup.exact; image: d10/d18;
+    * caption/cross-modal: d12): two clips match when EVERY sampled frame's
+    * perceptual hash agrees, which catches same-content re-posts whose
+    * container bytes differ (re-mux, fps change — the byte-level md5 gate
+    * misses those) while the k×64-bit fingerprint keeps accidental
+    * collisions out of reach. Emits `(id_a, id_b)` star pairs, min id
+    * first, exactly like the other dedup legs feed
+    * [[Dedup.connectedComponents]].
+    *
+    * Scale shape: frame extraction + phash are row-local (sampleFrames);
+    * only `(fingerprint, id)` rows — k longs + an id — reach the ONE
+    * groupBy exchange, never clip bytes; star pairs are O(dup rows) per
+    * group (min-id anchor, no within-group quadratic join). */
+  def fingerprintDups(videos: DataFrame, idCol: String, bytesCol: String,
+      k: Int): DataFrame = {
+    val fp = sampleFrames(videos.select(col(idCol), col(bytesCol)), bytesCol, k)
+      .select(col(idCol), col("t"), graftfns.phash(col("frame")).as("ph"))
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("t"), col("ph")))),
+        x => x.getField("ph")).as("fp"))
+    fp.groupBy("fp")
+      .agg(min(col(idCol)).as("id_a"), collect_list(col(idCol)).as("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_b") > col("id_a"))
+  }
 }

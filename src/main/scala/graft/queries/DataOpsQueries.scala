@@ -933,6 +933,19 @@ object DataOpsQueries {
           g.sniffFormat(col("frame")).as("frame_fmt"))
     }),
 
+    // Video near-dup by sampled-frame phash fingerprint — the video leg
+    // of the dedup family (VideoOps.fingerprintDups): catches the planted
+    // same-content re-posts whose container BYTES differ (re-muxed at a
+    // different fps), which byte-level exact dedup misses by design. Only
+    // (fingerprint, id) rows reach the one groupBy exchange — clip bytes
+    // stay in the scan tasks; star pairs O(dup rows) per group.
+    "d21_video_dedup" -> ((s, dir) => {
+      val n = Fixture.documents(s, dir).count()
+      val vids = graft.model.Synth.videoDocs(s, n, 32).toDF()
+        .select(substring(col("video_id"), 4, 8).cast("long").as("id"), col("bytes"))
+      graft.ops.VideoOps.fingerprintDups(vids, "id", "bytes", 4)
+    }),
+
     // Audio feature extraction — the audio leg of the multimodal trio:
     // one integer-exact audio_stats fold over the REAL PCM stream per row
     // (codegen'd kernel, row-local, shuffle-free). The fixture's square
@@ -2359,18 +2372,35 @@ object DataOpsQueries {
 
     // the uniform-sampling policy (m = min(4, n), idx = t*n // m) and the
     // video fixture's planted per-frame dims/format, both in closed form
+    // (through the re-post dup-source indirection — a re-post carries its
+    // source's frames, Synth.videoDupSourceOf)
     "m7_frame_sample" ->
-      """WITH v AS (SELECT doc_id AS id, 3 + doc_id % 6 AS n FROM documents),
-        |s AS (SELECT id, n, CASE WHEN n < 4 THEN n ELSE 4 END AS m FROM v),
-        |f AS (SELECT id, n, m, t FROM s, LATERAL (SELECT unnest(range(m)) AS t) g)
+      """WITH v AS (SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 40 = 39 AND doc_id >= 20 THEN doc_id - 20
+        |       ELSE doc_id END AS src FROM documents),
+        |v2 AS (SELECT id, src, 3 + src % 6 AS n FROM v),
+        |s AS (SELECT id, src, n, CASE WHEN n < 4 THEN n ELSE 4 END AS m FROM v2),
+        |f AS (SELECT id, src, n, m, t FROM s, LATERAL (SELECT unnest(range(m)) AS t) g)
         |SELECT id, t, (t * n) // m AS frame_idx,
-        |  CAST(CASE (id + 2 * ((t * n) // m)) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |  CAST(CASE (src + 2 * ((t * n) // m)) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
         |       WHEN 2 THEN 32 ELSE 64 END AS INTEGER) AS frame_w,
-        |  CAST(CASE (id + ((t * n) // m) + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |  CAST(CASE (src + ((t * n) // m) + 1) % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
         |       WHEN 2 THEN 32 ELSE 64 END AS INTEGER) AS frame_h,
-        |  CASE (id + ((t * n) // m)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |  CASE (src + ((t * n) // m)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |       ELSE 'xjpg' END AS frame_fmt
         |FROM f""".stripMargin,
+
+    // ground truth of the planted same-content re-posts in closed form
+    // (the d10 pattern, video edition): every 40th video re-muxes the
+    // frames of the video 20 before it at a different fps — byte-level
+    // dedup misses the pair (the container differs), the sampled-frame
+    // phash fingerprint must recover it exactly: no more (distinct
+    // pixel-seeded clips collide on all 4 sampled 64-bit phashes with
+    // probability ~0), no fewer (re-posted frames are bit-identical)
+    "d21_video_dedup" ->
+      """SELECT doc_id - 20 AS id_a, doc_id AS id_b
+        |FROM documents
+        |WHERE doc_id % 40 = 39 AND doc_id >= 20""".stripMargin,
 
     // the audio fixture's planted header fields and square-wave energy
     // closed forms (peak = amp, sum_sq = n·amp²); duration is the same

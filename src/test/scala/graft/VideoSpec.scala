@@ -19,7 +19,7 @@ class VideoSpec extends SparkSpec {
         val frame = VideoCodec.frameAt(doc.bytes, f)
         val w = Synth.videoFrameWOf(i, f); val h = Synth.videoFrameHOf(i, f)
         val expected = ImageCodec.encode(
-          ImageCodec.syntheticPixels(ImageCodec.mix64(Synth.Seed ^ (i * 131 + f)), w, h),
+          ImageCodec.syntheticPixels(Synth.videoPixelSeedOf(i, f), w, h),
           w, h, Synth.videoFrameFmtOf(i, f))
         assert(java.util.Arrays.equals(frame, expected), s"video $i frame $f")
         assert(ImageCodec.decodeDims(frame) == ((w, h)))
@@ -45,6 +45,22 @@ class VideoSpec extends SparkSpec {
       if (n <= 4) assert(idxs.sameElements(0L until n), s"$vid short clip must keep all")
     }
     assert(df.size == 60)
+  }
+
+  test("fingerprintDups recovers exactly the planted re-posts (container bytes differ, frames agree)") {
+    import spark.implicits._
+    val n = 120L
+    val vids = Synth.videoDocs(spark, n, 4).toDF()
+      .select(substring(col("video_id"), 4, 8).cast("long").as("id"), col("bytes"))
+    val pairs = VideoOps.fingerprintDups(vids, "id", "bytes", 4)
+      .as[(Long, Long)].collect().toSet
+    val planted = (0L until n).filter(i => Synth.videoDupSourceOf(i) != i)
+      .map(i => (i - 20, i)).toSet
+    assert(pairs == planted, s"got $pairs, wanted $planted")
+    // the plant is invisible to byte-level dedup: container bytes differ
+    planted.foreach { case (a, b) =>
+      assert(!java.util.Arrays.equals(Synth.makeVideoDoc(a).bytes, Synth.makeVideoDoc(b).bytes))
+    }
   }
 
   test("sampleFrames: an empty clip contributes no frames (no descending-sequence rows)") {
