@@ -40,12 +40,19 @@ object AudioCodec {
 
   def sampleRateOf(bytes: Array[Byte]): Int = {
     require(isGaud(bytes), "not a GAUD payload")
-    getU32(bytes, 4)
+    val rate = getU32(bytes, 4)
+    require(rate > 0, s"corrupt GAUD: sample rate $rate")
+    rate
   }
 
   def numSamplesOf(bytes: Array[Byte]): Int = {
     require(isGaud(bytes), "not a GAUD payload")
-    getU32(bytes, 8)
+    val n = getU32(bytes, 8)
+    // reject negative (high-bit) counts and counts past the payload here,
+    // with a clear message, instead of an out-of-bounds read in the fold
+    require(n >= 0 && bytes.length >= 12 + 2L * n,
+      s"corrupt GAUD: sample count $n does not fit a ${bytes.length}-byte payload")
+    n
   }
 
   def samplesOf(bytes: Array[Byte]): Array[Short] = {
@@ -78,11 +85,6 @@ object AudioCodec {
     Array(rate, n.toLong, n.toLong * 1000L / rate, peak, sumSq)
   }
 
-  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
-    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
-  }
-  private def getU32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = ImageCodec.putU32le(b, o, v)
+  private def getU32(b: Array[Byte], o: Int): Int = ImageCodec.getU32le(b, o)
 }

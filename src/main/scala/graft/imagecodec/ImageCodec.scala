@@ -410,7 +410,10 @@ object ImageCodec {
     else 20.0 * math.log10(255.0) - 10.0 * math.log10(se / a.length)
   }
 
-  // little-endian helpers
+  // little-endian helpers — the single definition all three codecs
+  // (image/video/audio) share
+  private[imagecodec] def putU32le(b: Array[Byte], o: Int, v: Int): Unit = putU32(b, o, v)
+  private[imagecodec] def getU32le(b: Array[Byte], o: Int): Int = getU32(b, o)
   private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
     b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
   }

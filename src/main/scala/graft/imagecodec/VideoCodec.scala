@@ -54,7 +54,12 @@ object VideoCodec {
 
   def frameCountOf(bytes: Array[Byte]): Int = {
     require(isGvid(bytes), "not a GVID payload")
-    getU32(bytes, 4)
+    val n = getU32(bytes, 4)
+    // a malformed header must fail HERE with a clear message, not as an
+    // out-of-bounds read deep inside a codegen'd kernel
+    require(n >= 0 && bytes.length >= 12 + 4L * (n + 1),
+      s"corrupt GVID: frame count $n does not fit a ${bytes.length}-byte payload")
+    n
   }
 
   def fpsOf(bytes: Array[Byte]): Int = {
@@ -68,14 +73,11 @@ object VideoCodec {
     require(i >= 0 && i < n, s"frame $i out of range [0, $n)")
     val start = getU32(bytes, 12 + 4 * i)
     val end = getU32(bytes, 12 + 4 * (i + 1))
+    require(start >= 12 + 4 * (n + 1) && start <= end && end <= bytes.length,
+      s"corrupt GVID: frame $i offsets [$start, $end) outside payload of ${bytes.length}")
     java.util.Arrays.copyOfRange(bytes, start, end)
   }
 
-  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {
-    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
-    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
-  }
-  private def getU32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = ImageCodec.putU32le(b, o, v)
+  private def getU32(b: Array[Byte], o: Int): Int = ImageCodec.getU32le(b, o)
 }

@@ -29,9 +29,15 @@ object VideoOps {
   /** Explode `bytesCol` GVID payloads into ≤ k uniformly-sampled frames.
     * Keeps every input column and adds: `n` (clip frame count), `t`
     * (sample ordinal), `frame_idx` (chosen frame), `frame` (the encoded
-    * frame, an ordinary image payload for the per-frame kernels). */
+    * frame, an ordinary image payload for the per-frame kernels) — those
+    * four names are reserved: an input already using one would be
+    * silently clobbered, so it is rejected instead. */
   def sampleFrames(videos: DataFrame, bytesCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    val reserved = Seq("n", "t", "frame_idx", "frame", "__m")
+    val clash = videos.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"sampleFrames adds columns ${reserved.mkString(", ")}; input already has ${clash.mkString(", ")}")
     val keep = videos.columns.map(col)
     videos
       .withColumn("n", graftfns.frameCount(col(bytesCol)))
@@ -40,11 +46,10 @@ object VideoOps {
       // sequence(0, m-1) would DESCEND for m = 0 and emit two bogus rows
       .filter(col("__m") > 0L)
       .select(keep ++ Seq(col("n"), col("__m"),
-        posexplode(sequence(lit(0L), col("__m") - 1L))): _*)
-      .withColumnRenamed("col", "t")
+        explode(sequence(lit(0L), col("__m") - 1L)).as("t")): _*)
       .withColumn("frame_idx", expr("(t * cast(n as bigint)) div __m"))
       .withColumn("frame", graftfns.frameAt(col(bytesCol), col("frame_idx").cast("int")))
-      .drop("pos", "__m")
+      .drop("__m")
   }
 
   /** Video near-dup pairs by sampled-frame phash fingerprint — the video
@@ -63,12 +68,16 @@ object VideoOps {
     * group (min-id anchor, no within-group quadratic join). */
   def fingerprintDups(videos: DataFrame, idCol: String, bytesCol: String,
       k: Int): DataFrame = {
+    // the clip frame count n joins the group key: two clips that happen to
+    // share their k SAMPLED frames but differ in length (one clip built
+    // from exactly the other's sampled frames) are not the same content
     val fp = sampleFrames(videos.select(col(idCol), col(bytesCol)), bytesCol, k)
-      .select(col(idCol), col("t"), graftfns.phash(col("frame")).as("ph"))
+      .select(col(idCol), col("n"), col("t"), graftfns.phash(col("frame")).as("ph"))
       .groupBy(idCol)
-      .agg(transform(array_sort(collect_list(struct(col("t"), col("ph")))),
-        x => x.getField("ph")).as("fp"))
-    fp.groupBy("fp")
+      .agg(first(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("t"), col("ph")))),
+          x => x.getField("ph")).as("fp"))
+    fp.groupBy("n", "fp")
       .agg(min(col(idCol)).as("id_a"), collect_list(col(idCol)).as("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_b") > col("id_a"))

@@ -29,6 +29,21 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("corrupt GAUD payloads fail fast with a clear message, not a div-by-zero or OOB read") {
+    val good = Synth.makeAudioDoc(1L).bytes
+    val zeroRate = good.clone()
+    zeroRate(4) = 0; zeroRate(5) = 0; zeroRate(6) = 0; zeroRate(7) = 0
+    assert(intercept[IllegalArgumentException](
+      AudioCodec.statsOf(zeroRate)).getMessage.contains("corrupt GAUD"))
+    val truncated = java.util.Arrays.copyOf(good, 20)
+    assert(intercept[IllegalArgumentException](
+      AudioCodec.statsOf(truncated)).getMessage.contains("corrupt GAUD"))
+    val negCount = good.clone()
+    negCount(11) = 0x80.toByte
+    assert(intercept[IllegalArgumentException](
+      AudioCodec.statsOf(negCount)).getMessage.contains("corrupt GAUD"))
+  }
+
   test("audio_stats kernel over a frame: matches closed forms, shuffle-free plan") {
     val g = graft.functions.graftfns
     val out = Synth.audioDocs(spark, 50, 4).toDF()

@@ -29,6 +29,25 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("corrupt GVID payloads fail fast with a clear message, not an out-of-bounds read") {
+    val good = Synth.makeVideoDoc(1L).bytes
+    // truncated mid-index: frame count no longer fits
+    val truncated = java.util.Arrays.copyOf(good, 14)
+    assert(intercept[IllegalArgumentException](
+      VideoCodec.frameCountOf(truncated)).getMessage.contains("corrupt GVID"))
+    // first frame offset pointing past the payload
+    val badOffset = good.clone()
+    badOffset(12) = 0xff.toByte; badOffset(13) = 0xff.toByte
+    badOffset(14) = 0xff.toByte; badOffset(15) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException](
+      VideoCodec.frameAt(badOffset, 0)).getMessage.contains("corrupt GVID"))
+    // negative (high-bit) frame count
+    val badCount = good.clone()
+    badCount(7) = 0x80.toByte
+    assert(intercept[IllegalArgumentException](
+      VideoCodec.frameCountOf(badCount)).getMessage.contains("corrupt GVID"))
+  }
+
   test("sampleFrames: uniform policy — first frame kept, strictly increasing, short clips complete") {
     val df = VideoOps.sampleFrames(Synth.videoDocs(spark, 60, 4).toDF(), "bytes", 4)
       .select(col("video_id"), col("nframes"), col("t"), col("frame_idx"))
