@@ -176,7 +176,6 @@ object Bench {
   private def graphScaleSection(spark: org.apache.spark.sql.SparkSession,
       benchUrls: Long): String = {
     import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.functions._
       val nRed = benchUrls / 2
       // chains: id → id+1 within each 64-block; block heads absorb; every
       // 4096th block closes into a cycle (head → head+63)
@@ -259,11 +258,21 @@ object Bench {
       var fullRows = 0L
       var fullDf: org.apache.spark.sql.DataFrame = null
       val lFull = graft.metrics.Metrics.register(spark, logEveryTasks = 0)
+      // pin the baseline to the DF engine regardless of bench scale: at
+      // SPARK_GRAFT_BENCH_URLS small enough that old∪batch dips under the
+      // dispatch threshold, pagerank() would silently run the RDD loop and
+      // the fold-vs-full shuffle comparison would cross engines
+      val prevThreshold = spark.conf.getOption("graft.graph.datasetThreshold")
+      spark.conf.set("graft.graph.datasetThreshold", "0")
       val tFullPr = min2 {
         if (fullDf != null) { fullDf.unpersist(); () }
         fullDf = LinkGraph.pagerank(prEdges.unionByName(prBatch), iterations = 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fullRows = fullDf.count()
+      }
+      prevThreshold match {
+        case Some(v) => spark.conf.set("graft.graph.datasetThreshold", v)
+        case None => spark.conf.unset("graft.graph.datasetThreshold")
       }
       val sFull = lFull.snapshot
       lFull.unregister()
@@ -351,7 +360,8 @@ object Bench {
     storedSurv.count() // the stored labelling exists before batches fold in
     val tFold = min2 {
       rowsFold = graft.ops.Dedup.semanticDedupUpdate(
-        stored, storedSurv, batch, "vec_id", "embedding", 0.95).count()
+        stored, storedSurv, batch, "vec_id", "embedding", 0.95,
+        storedMaxId = Some(nVec - 1)).count()
     }
     stored.unpersist(); batch.unpersist(); storedSurv.unpersist()
     s"""{"vectors":$nVec,"batch":$nBatch,"clusters":512,"full_sec":$tFull,""" +

@@ -816,12 +816,30 @@ object Dedup {
     * (the IVF layout), so the probe join is partition-pruned to the
     * batch's touched clusters — O(|batch| × touched-cluster mass) per
     * batch, vs O(Σ|cluster|²) for a full re-dedup. Returns the updated
-    * survivor set (stored survivors ∪ new batch survivors). */
+    * survivor set (stored survivors ∪ new batch survivors).
+    *
+    * `storedMaxId`: the stored corpus's max id, which any store tracks for
+    * free at append time. When given, the batch's min id is checked
+    * against it and a violating fold FAILS FAST — without the check a
+    * batch id below a stored id silently corrupts the labelling forever
+    * (the fold never re-judges stored rows, so a stored survivor that the
+    * one-shot closure would have dropped survives every later fold too).
+    * Checking against the stored FRAME here would cost the O(corpus) scan
+    * this operator exists to avoid, hence the caller-supplied bound. */
   def semanticDedupUpdate(storedAll: DataFrame, storedSurvivors: DataFrame,
       batchAssigned: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, clusterCol: String = "cluster",
+      storedMaxId: Option[Long] = None): DataFrame = {
+    storedMaxId.foreach { bound =>
+      val minBatch = batchAssigned.agg(min(col(idCol).cast("long"))).head().get(0)
+      if (minBatch != null)
+        require(minBatch.asInstanceOf[Long] > bound,
+          s"semanticDedupUpdate: batch min id $minBatch <= stored max id $bound — " +
+            "the monotone-id precondition is violated; run the one-shot " +
+            "semanticDedupWithin over the union instead")
+    }
     def shaped(df: DataFrame) = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+      col(idCol).as("id"), col(vecCol).as("v"), col(clusterCol).as("cluster"))
     val b = shaped(batchAssigned)
     val simDrop = (left: DataFrame) =>
       left.as("a").join(b.as("b"),
@@ -830,8 +848,8 @@ object Dedup {
         .select(col("b.id").as("id"))
     val dropped = simDrop(shaped(storedAll)).union(simDrop(b)).distinct()
     val newSurvivors = b.join(dropped, Seq("id"), "left_anti")
-      .select(col("id").as(idCol), col("cluster"))
-    storedSurvivors.select(col(idCol), col("cluster")).unionByName(newSurvivors)
+      .select(col("id").as(idCol), col("cluster").as(clusterCol))
+    storedSurvivors.select(col(idCol), col(clusterCol)).unionByName(newSurvivors)
   }
 
   /** Embedding cosine near-dup: normalized dot products above threshold,

@@ -45,7 +45,17 @@ private[graft] object IterSupport {
 
   /** The DataFrame twin of [[truncateRdd]] (non-eager: execution rides
     * the caller's next action — note plan COMPILATION still happens at
-    * call time, which is exactly why small loops run on RDDs). */
+    * call time, which is exactly why small loops run on RDDs). Persist
+    * first on the reliable path for the same reason truncateRdd does: a
+    * reliable checkpoint otherwise recomputes the lineage a second time
+    * when it writes the checkpoint files, and with the default
+    * checkpointAllMarkedAncestors=false an INTERMEDIATE marked level that
+    * the outermost checkpoint shadows would stay unmaterialized entirely —
+    * every later read of a stored PageRank level would then re-run its
+    * lineage back to the raw edges (localCheckpoint persists on its own). */
   def truncateDf(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    if (reliable) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
 }

@@ -417,7 +417,10 @@ object LinkGraph {
     // broadcast-semi SCAN of the stored edges, then a broadcast anti
     // against that (small) intersection — checkpointed frames carry no
     // stats, so without the hints these anti joins sort-merge the corpus
-    val prepNe = prepEdges(newEdges)
+    // truncate the batch prep ONCE: prepNe otherwise re-runs its
+    // filter/cast/distinct shuffle for the storedDup broadcast build, the
+    // anti join, and the empty-batch probe below (2-3 executions per fold)
+    val prepNe = truncateDf(prepEdges(newEdges), reliable)
     val storedDup = oldE.join(broadcast(prepNe), Seq("src", "dst"), "left_semi")
     val ne = truncateDf(prepNe
       .join(broadcast(storedDup), Seq("src", "dst"), "left_anti"), reliable)

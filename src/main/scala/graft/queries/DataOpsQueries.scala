@@ -73,20 +73,40 @@ object DataOpsQueries {
     * assignment (quantized vectors against the quantized vectors of the
     * 16 smallest ids as fixed centroids — the i1 derivation, bit-exact in
     * DuckDB). */
+  /** The train-once centroid table the semantic-dedup queries share
+    * (d19/d20/e8): first 16 corpus vectors, quantized — deterministic
+    * seeding, exactly what the IVF trainer does. ONE definition so a
+    * quantization or tie-break change cannot silently diverge the
+    * queries from their SQL twins. */
+  private def centroids16(emb: DataFrame): Seq[(Int, Seq[Double])] =
+    emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"), quantized(col("embedding")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
+      .sortBy(_._1).toSeq
+
+  /** Row-local nearest-centroid assignment via the codegen'd kernel
+    * (broadcast literals, no shuffle) — shared by d19/d20/e8. */
+  private def assignClusters(df: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("cluster",
+      graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+
+  /** m6/e8's deterministic caption-embedding derivation (fixture
+    * synthesis — vec_id%4==0 decorrelates, else a ×1.001f scale; the
+    * DuckDB twins rebuild it verbatim). */
+  private def captionVec =
+    when(col("vec_id") % 4 === 0, reverse(col("embedding")))
+      .otherwise(transform(col("embedding"), e => e * lit(1.001f)))
+
   private def semanticAssigned(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Fixture.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val planted = emb.filter(col("vec_id") < 50)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), e => e * lit(1.001f)).as("embedding"))
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").cast("int"), quantized(col("embedding")))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
-      .sortBy(_._1).toSeq
-    def assign(df: DataFrame) = df.withColumn("cluster",
-      graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
-        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
-    (assign(emb), assign(planted))
+    val cents = centroids16(emb)
+    (assignClusters(emb, cents), assignClusters(planted, cents))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,8 +197,12 @@ object DataOpsQueries {
       val (stored, batch) = semanticAssigned(s, dir)
       val storedSurvivors = graft.ops.Dedup.semanticDedupWithin(
         stored, "vec_id", "embedding", "cluster", 0.95)
+      // storedMaxId = the store's tracked id bound (batch ids are planted
+      // at +100000, stored ids sit below it by construction) — the fold
+      // fails fast if the monotone-id precondition ever breaks
       graft.ops.Dedup.semanticDedupUpdate(
-        stored, storedSurvivors, batch, "vec_id", "embedding", 0.95)
+        stored, storedSurvivors, batch, "vec_id", "embedding", 0.95,
+        storedMaxId = Some(99999L))
     }),
 
     // Transitive closure over the multi-signal near-dup pair graph — the
@@ -979,11 +1003,9 @@ object DataOpsQueries {
     // posture never pays. Cosine arithmetic is the d5-proven
     // IEEE-identical left-fold.
     "m6_caption_alignment" -> ((s, dir) => {
-      val emb = Fixture.embeddings(s, dir)
-      val capv = when(col("vec_id") % 4 === 0, reverse(col("embedding")))
-        .otherwise(transform(col("embedding"), e => e * lit(1.001f)))
-      emb.select(col("vec_id"), col("label"),
-          graft.ops.Similarity.cosine(col("embedding"), capv).as("alignment"))
+      Fixture.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.ops.Similarity.cosine(col("embedding"), captionVec).as("alignment"))
         .filter(col("alignment") >= 0.28)
     }),
 
@@ -1507,19 +1529,10 @@ object DataOpsQueries {
     // on cluster and the survivor↔documents equi-join.
     "e8_aligned_corpus" -> ((s, dir) => {
       val emb = Fixture.embeddings(s, dir)
-      val capv = when(col("vec_id") % 4 === 0, reverse(col("embedding")))
-        .otherwise(transform(col("embedding"), e => e * lit(1.001f)))
       val aligned = emb
-        .filter(graft.ops.Similarity.cosine(col("embedding"), capv) >= 0.28)
+        .filter(graft.ops.Similarity.cosine(col("embedding"), captionVec) >= 0.28)
         .select(col("vec_id"), col("embedding"))
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int"), quantized(col("embedding")))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toDouble): Seq[Double]))
-        .sortBy(_._1).toSeq
-      val assigned = aligned.withColumn("cluster",
-        graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
-          cents.map(_._2.toArray).toArray, cents.map(_._1).toArray))
+      val assigned = assignClusters(aligned, centroids16(emb))
       val survivors = graft.ops.Dedup.semanticDedupWithin(
         assigned, "vec_id", "embedding", "cluster", 0.95)
       val docs = Fixture.documents(s, dir).select(col("doc_id"),

@@ -522,6 +522,18 @@ class OpsSpec extends SparkSpec {
     val storedSurvIds = storedSurv.collect().map(_.getLong(0)).toSet
     val storedDroppedExists = (0L until 60L).exists(i => !storedSurvIds.contains(i))
     assert(storedDroppedExists, "fixture degenerate: no stored row was dropped")
+    // the guarded form: a caller-tracked stored-max bound passes when the
+    // monotone-id precondition holds and FAILS FAST when it does not
+    // (silent corruption otherwise — the fold never re-judges stored rows)
+    val guarded = Dedup.semanticDedupUpdate(stored, storedSurv, batch,
+        "vec_id", "embedding", 0.95, storedMaxId = Some(59L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(guarded == oneShot)
+    val violation = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupUpdate(batch, storedSurv, stored,
+        "vec_id", "embedding", 0.95, storedMaxId = Some(119L))
+    }
+    assert(violation.getMessage.contains("monotone-id"))
   }
 
   test("updateComponents folds new pairs into stored labels ≡ one-shot closure") {
