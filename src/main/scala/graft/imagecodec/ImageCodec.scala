@@ -380,7 +380,10 @@ object ImageCodec {
     }
     var t = 0
     while (t < h && rowUniform(t)) t += 1
-    if (t == h) return packBorders(math.min(t, 255), 0, 0, 0) // fully uniform
+    // fully uniform: there is no content to crop TO — report no border so
+    // the documented crop(detect(x)) composition stays total (a nonzero
+    // top of h would make crop() compute zero output rows and throw)
+    if (t == h) return 0
     var b = 0
     while (b < h - t && rowUniform(h - 1 - b)) b += 1
     def colUniform(x: Int): Boolean = {

@@ -158,6 +158,11 @@ object Dedup {
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("s"))
       .select(col("id"), col("n_sh"), xxhash64(col("s")).as("h"))
+      // three consumers (the hot-list aggregate and both sides of the
+      // self-join) — persist or the shingle explode + hash re-runs over
+      // the corpus for each (Catalyst does no common-subplan elimination;
+      // same measured rationale as t10's cached tf projection)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
     val kept = sh.join(hot, Seq("h"), "left_anti")
@@ -726,6 +731,10 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.graftfns.shingles(col("toks"), k)).as(Seq("p", "ng")))
       .select(col("doc_id"), col("p"), CrossHash.md5Hash60(col("ng")).as("ngh"))
+      // two consumers (the dup-set aggregate and the semi-join left side)
+      // — persist or the tokenize + shingle + hash pass re-runs over the
+      // corpus for each (the t10 cached-tf rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = ngrams.groupBy("ngh")
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2)

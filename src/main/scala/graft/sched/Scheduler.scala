@@ -128,18 +128,23 @@ object Scheduler {
     *    and spreads heavy leading-key ties by the tiebreakers. */
   private def orderBuckets(df: DataFrame, orderCols: Seq[Column], n: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val leadOk = df.select(orderCols.head.as("__k")).schema.head.dataType match {
-      case _: NumericType | DateType | TimestampType => true
-      case _ => false
-    }
+    // The whole sketch attempt is a PROBE with a correct fallback (bucket
+    // placement never affects correctness), so any failure — notably a
+    // SortOrder leading column (col(...).desc), which resolves in a
+    // projection's schema but is Unevaluable at codegen when the quantile
+    // sketch casts it — routes to the range path instead of throwing.
     val cuts: Array[Double] =
-      if (!leadOk || n <= 1) Array.empty
-      else {
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        df.select(orderCols.head.cast("double").as("__k"))
-          .stat.approxQuantile("__k", probs, 1.0 / (100.0 * n))
-          .distinct.sorted
-      }
+      if (n <= 1) Array.empty
+      else scala.util.Try {
+        df.select(orderCols.head.as("__k")).schema.head.dataType match {
+          case _: NumericType | DateType | TimestampType =>
+            val probs = (1 until n).map(_.toDouble / n).toArray
+            df.select(orderCols.head.cast("double").as("__k"))
+              .stat.approxQuantile("__k", probs, 1.0 / (100.0 * n))
+              .distinct.sorted
+          case _ => Array.empty[Double]
+        }
+      }.getOrElse(Array.empty)
     if (cuts.length >= n / 2) {
       val k = orderCols.head.cast("double")
       // null leading key: every comparison is null → otherwise(0) →

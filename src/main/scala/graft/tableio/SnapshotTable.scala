@@ -35,7 +35,8 @@ object SnapshotTable {
       parent: Long, // -1 for first
       batchId: Long, // user-level idempotency key; -1 if unkeyed
       files: Seq[String], // data files ADDED by this snapshot (relative)
-      rows: Long) // rows added
+      rows: Long, // rows added
+      folded: Seq[Long] = Nil) // batch ids a REBASE preserved from the cut chain
 
   /** Per-JVM memo of parsed manifests, keyed (table root, snapshot id) —
     * see [[SnapshotTable.manifest]] for the immutability argument. */
@@ -112,9 +113,13 @@ final class SnapshotTable(val root: String) {
     if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
   }
 
-  /** Has a commit with this batchId already landed? (resume idempotency) */
+  /** Has a commit with this batchId already landed? (resume idempotency)
+    * Includes the batch ids a compaction PRESERVED from the chain it cut
+    * (`Manifest.folded`) — without them, a replayed pre-compaction commit
+    * would land on the rebased chain and resurrect superseded rows. */
   def committedBatchIds: Set[Long] =
-    headId.map(id => chain(id).map(_.batchId).filter(_ >= 0).toSet).getOrElse(Set.empty)
+    headId.map(id => chain(id).flatMap(m => m.batchId +: m.folded)
+      .filter(_ >= 0).toSet).getOrElse(Set.empty)
 
   /** True if any commit on the HEAD chain is UNKEYED (batchId = -1).
     * Unkeyed rows are invisible to [[readSinceBatch]]'s lineage pruning
@@ -143,16 +148,25 @@ final class SnapshotTable(val root: String) {
     * Old snapshots stay readable by explicit time travel (`read(asOf)`
     * walks their own manifest chain) until [[expireSnapshots]] reclaims
     * them as an orphaned branch — exactly Iceberg's rewrite-then-expire
-    * contract. `batchId` should be the highest batch folded in, keeping
-    * [[readSinceBatch]] conservative: a heal asking for deltas past an
-    * already-compacted batch sees nothing extra; one asking from before
-    * the horizon reads the (complete) rebased state instead of a
+    * contract. `batchId` is the compaction's OWN idempotency key — pass a
+    * FRESH id (a folded id would make the call a silent no-op via the
+    * idempotency check). The cut chain's batch ids are preserved in the
+    * rebase manifest (`Manifest.folded`) so replayed pre-compaction
+    * commits stay no-ops and cannot resurrect superseded rows, and
+    * [[readSinceBatch]] stays conservative: a heal asking for deltas past
+    * an already-compacted batch sees nothing extra; one asking from
+    * before the horizon reads the (complete) rebased state instead of a
     * no-longer-reachable delta. */
-  def compact(df: DataFrame, batchId: Long): Long =
-    writeSnapshot(df, batchId, parentOf = _ => -1L)
+  def compact(df: DataFrame, batchId: Long): Long = synchronized {
+    require(batchId < 0 || !committedBatchIds.contains(batchId) ||
+      headId.exists(id => chain(id).exists(m => m.parent == -1L && m.batchId == batchId)),
+      s"compact batchId $batchId is a batch already ON the chain — pass a fresh id " +
+        "(the folded ids are preserved automatically)")
+    writeSnapshot(df, batchId, parentOf = _ => -1L, folded = committedBatchIds.toSeq.sorted)
+  }
 
   private def writeSnapshot(df: DataFrame, batchId: Long,
-      parentOf: Option[Long] => Long): Long = synchronized {
+      parentOf: Option[Long] => Long, folded: Seq[Long] = Nil): Long = synchronized {
     val head = headId
     if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
     val id = head.map(_ + 1).getOrElse(0L)
@@ -171,7 +185,7 @@ final class SnapshotTable(val root: String) {
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => rootP.relativize(p).toString).toSeq.sorted
-    val m = Manifest(id, parentOf(head), batchId, files, rows)
+    val m = Manifest(id, parentOf(head), batchId, files, rows, folded)
     writeAtomic(snapP.resolve(s"snapshot-$id.json"), renderManifest(m))
     // keep the parse memo coherent: a HEAD rollback (crash healing) makes
     // the next commit REUSE the orphaned id with a fresh file list — the
@@ -222,7 +236,8 @@ final class SnapshotTable(val root: String) {
   // relative paths we generate ourselves).
   private def renderManifest(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
-    s"""{"id":${m.id},"parent":${m.parent},"batchId":${m.batchId},"rows":${m.rows},"files":$fs}"""
+    val fb = m.folded.mkString("[", ",", "]")
+    s"""{"id":${m.id},"parent":${m.parent},"batchId":${m.batchId},"rows":${m.rows},"files":$fs,"folded":$fb}"""
   }
 
   private def parseManifest(s: String): Manifest = {
@@ -231,6 +246,11 @@ final class SnapshotTable(val root: String) {
     val files = "\"files\":\\[(.*?)\\]".r.findFirstMatchIn(s).get.group(1)
     val fs = if (files.isEmpty) Nil
       else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Manifest(longField("id"), longField("parent"), longField("batchId"), fs, longField("rows"))
+    // "folded" absent in pre-compaction-era manifests → empty
+    val folded = "\"folded\":\\[(.*?)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil)
+    Manifest(longField("id"), longField("parent"), longField("batchId"), fs,
+      longField("rows"), folded)
   }
 }

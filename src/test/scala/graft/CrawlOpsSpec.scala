@@ -268,6 +268,12 @@ class CrawlOpsSpec extends SparkSpec {
       val enc = ImageCodec.encode(px, w, h, fmt)
       // zero-border image: nothing detected (noise rows are not uniform)
       assert(ImageCodec.letterboxOf(enc) == 0, fmt)
+      // fully uniform image: no border reported (there is no content to
+      // crop TO), so crop(detect(x)) stays total instead of throwing
+      val flat = ImageCodec.encode(Array.fill(w * h)(7.toByte), w, h, fmt)
+      assert(ImageCodec.letterboxOf(flat) == 0, s"$fmt fully-uniform")
+      assert(java.util.Arrays.equals(
+        ImageCodec.cropEncoded(flat, ImageCodec.letterboxOf(flat)), flat), fmt)
       for ((t, b, l, r) <- Seq((1, 0, 0, 0), (3, 2, 1, 0), (2, 2, 4, 4))) {
         val packed = ImageCodec.packBorders(t, b, l, r)
         val padded = ImageCodec.padEncoded(enc, packed)

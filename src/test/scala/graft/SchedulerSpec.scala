@@ -85,6 +85,14 @@ class SchedulerSpec extends SparkSpec {
     val plan = Scheduler.globalRank(df, keys, "rk", parts = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+    // a SortOrder leading key (desc) is valid input for the range path —
+    // the quantile probe must classify it, not throw at analysis time
+    val descKeys = Seq(col("id").desc, col("band"))
+    val descSingle = df.withColumn("rk", row_number().over(Window.orderBy(descKeys: _*)))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val descDist = Scheduler.globalRank(df, descKeys, "rk", parts = 8)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(descDist == descSingle)
   }
 
   // records each materialized shuffle actually wrote at runtime (reused

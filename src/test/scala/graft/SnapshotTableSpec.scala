@@ -130,6 +130,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readSinceBatch(spark, 2).isEmpty)
     // compaction is batchId-idempotent like any commit
     assert(t.compact(state, batchId = 2L) == cid)
+    // the cut chain's batch ids are PRESERVED in the rebase manifest, so a
+    // replayed pre-compaction commit is still a no-op — without this, a
+    // restart (or a bench/verify harness evaluating the query again) would
+    // land batch 0/1 on the rebased chain and resurrect superseded rows
+    assert(t.committedBatchIds == Set(0L, 1L, 2L))
+    assert(t.commit(Seq((2, "b")).toDF("id", "v"), batchId = 0) == cid)
+    assert(t.commit(Seq((9, "z")).toDF("id", "v"), batchId = 1) == cid)
+    assert(t.read(spark).get.count() == 3, "replayed folded batches must not land")
+    // a compaction keyed by an already-folded NON-rebase id is a caller
+    // bug (it would silently no-op) — fail fast instead
+    assert(intercept[IllegalArgumentException](
+      t.compact(state, batchId = 0L)).getMessage.contains("fresh id"))
     // expire reclaims the orphaned pre-compaction branch and its files
     t.expireSnapshots()
     assert(scala.util.Try(t.read(spark, Some(preHead)).map(_.count())).isFailure,
