@@ -347,21 +347,33 @@ object LinkGraph {
     val base = (dampDen - dampNum) * scale / dampDen
     val e = truncateDf(prepEdges(edges), reliable)
     val deg = truncateDf(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), reliable)
+    // NOT truncated: each level re-runs this join of two checkpointed
+    // frames (cheap, co-read), while truncating it would MATERIALIZE a
+    // corpus-sized (src, dst, outdeg) table to block storage per fold —
+    // more bytes written than the 3 re-joins cost (measured at the
+    // 2M-edge bench; at 10^10 edges the write is strictly worse)
     val adj = e.join(deg, "src")
     val nodes = truncateDf(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct(), reliable)
-    var ranks = truncateDf(nodes.select(col("node"), lit(scale).as("rank_fp")), reliable)
+    // r0 is a literal projection over the checkpointed node set — cheap to
+    // re-read by construction, so no truncation (saves a plan compile)
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
     val hist = scala.collection.mutable.ArrayBuffer(ranks)
     var i = 0
     while (i < iterations) {
+      // ONE exchange per level: contribution rows union a zero row per
+      // node and aggregate — same values as the former groupBy + left
+      // join back to `nodes` (a contrib-less node sums to 0), one less
+      // exchange and no join stage, at every scale
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
         .select(adj("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
+      ranks = truncateDf(contribs
+        .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
         .groupBy("node").agg(sum(col("__c")).as("__c"))
-      ranks = truncateDf(nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
-            .as("rank_fp")), reliable)
+          (lit(base) + expr(s"($dampNum * __c) div $dampDen")).as("rank_fp")),
+        reliable)
       hist += ranks
       i += 1
     }
@@ -417,10 +429,12 @@ object LinkGraph {
     // broadcast-semi SCAN of the stored edges, then a broadcast anti
     // against that (small) intersection — checkpointed frames carry no
     // stats, so without the hints these anti joins sort-merge the corpus
-    // truncate the batch prep ONCE: prepNe otherwise re-runs its
-    // filter/cast/distinct shuffle for the storedDup broadcast build, the
-    // anti join, and the empty-batch probe below (2-3 executions per fold)
-    val prepNe = truncateDf(prepEdges(newEdges), reliable)
+    // ONE truncation for the whole batch prep (ne): prepNe executes twice
+    // inside it (the storedDup broadcast build and the anti's left side) —
+    // batch-sized work both times — while a second checkpoint would add a
+    // full driver-side plan compile (~0.3 s, the measured dominant cost of
+    // this operator at query scale; see the expansion-loop note below)
+    val prepNe = prepEdges(newEdges)
     val storedDup = oldE.join(broadcast(prepNe), Seq("src", "dst"), "left_semi")
     val ne = truncateDf(prepNe
       .join(broadcast(storedDup), Seq("src", "dst"), "left_anti"), reliable)
@@ -430,20 +444,23 @@ object LinkGraph {
     // deg' = stored deg + per-src batch deltas (broadcast merge + the
     // brand-new srcs via the same scan-intersect trick), NEVER a
     // re-aggregation of the stored edge corpus
-    val batchDeg = truncateDf(ne.groupBy("src").agg(count(lit(1)).as("__bd")), reliable)
+    // batch-sized frames below (batchDeg, newNodes) are deliberately NOT
+    // truncated: their ≤4 re-executions are small shuffles over the ne
+    // checkpoint, cheaper than a plan compile each
+    val batchDeg = ne.groupBy("src").agg(count(lit(1)).as("__bd"))
     val degDup = state.deg.join(broadcast(batchDeg), Seq("src"), "left_semi")
       .select(col("src"))
-    val deg = truncateDf(
-      state.deg.join(broadcast(batchDeg), Seq("src"), "left")
-        .select(col("src"),
-          (col("__outdeg") + coalesce(col("__bd"), lit(0L))).as("__outdeg"))
-        .unionByName(batchDeg.join(broadcast(degDup), Seq("src"), "left_anti")
-          .select(col("src"), col("__bd").as("__outdeg"))), reliable)
+    // not truncated: with the hoisted degT below, deg' is read once per
+    // fold — a truncation would only add a plan compile
+    val deg = state.deg.join(broadcast(batchDeg), Seq("src"), "left")
+      .select(col("src"),
+        (col("__outdeg") + coalesce(col("__bd"), lit(0L))).as("__outdeg"))
+      .unionByName(batchDeg.join(broadcast(degDup), Seq("src"), "left_anti")
+        .select(col("src"), col("__bd").as("__outdeg")))
     val neNodes = ne.select(col("src").as("node"))
       .unionByName(ne.select(col("dst").as("node"))).distinct()
     val nodeDup = state.nodes.join(broadcast(neNodes), Seq("node"), "left_semi")
-    val newNodes = truncateDf(
-      neNodes.join(broadcast(nodeDup), Seq("node"), "left_anti"), reliable)
+    val newNodes = neNodes.join(broadcast(nodeDup), Seq("node"), "left_anti")
     val batchSrcs = ne.select(col("src")).distinct()
 
     // Broadcast-small assumption (documented contract, like
@@ -451,25 +468,60 @@ object LinkGraph {
     // out-degree^k dirty frontier fit the broadcast budget — true for
     // crawl-batch folds with the small fixed iteration count; a batch
     // whose frontier outgrows that is a re-rank, not a fold.
+    //
+    // The per-level dirty sets are MONOTONE (D₀ = newNodes; Dᵢ =
+    // dst(full ⋉ (Dᵢ₋₁ ∪ batchSrcs)) ∪ newNodes, so Dᵢ₋₁ ⊆ Dᵢ by
+    // induction), which makes the FINAL frontier D = D_k a sound
+    // recompute set for EVERY level: a node v ∈ D \ Dᵢ has, at level i,
+    // only in-neighbors whose rank and out-degree are unchanged, so
+    // recomputing it reproduces its stored rank exactly (level-0 base:
+    // every rank is `scale`). Expanding D first and recomputing all of D
+    // per level is therefore row-equal to the per-level-Dᵢ walk
+    // (LinkGraphSpec's random-split equality + the g5 oracle pin it) —
+    // and it moves the in-edge probe, the touched-src set and the
+    // deg'/history pruning scans OUT of the round loop: one corpus probe
+    // each per FOLD instead of per ITERATION (at 10^10 edges the
+    // partition-pruned in-edge probe is the expensive step; at bench
+    // scale this also halves the job count). The recompute work per
+    // level grows from |Dᵢ| to |D| rows — both are O(dirty frontier),
+    // the same bound.
+    // Intermediate expansion frames are single-reference chains (D_i is
+    // read only by D_{i+1}), so only the FINAL frontier is truncated —
+    // each dropped truncation saves a full driver-side plan compile
+    // (localCheckpoint/checkpoint force toRdd at call time; measured
+    // ~0.3 s/frame, the dominant cost of this operator at query scale)
+    // while execution cost is unchanged: every subtree still runs once.
     var dirty = newNodes                                       // D₀
-    var recomputed = newNodes.select(col("node"), lit(scale).as("rank_fp"))
     var i = 1
     while (i < history.length) {
+      // intermediate rounds skip the distinct: a semi-join probe is
+      // duplicate-tolerant, so only the FINAL frontier (which feeds the
+      // row-emitting unions) must be an exact set — two shuffle stages
+      // fewer per fold
       val srcDirty = dirty.select(col("node").as("src"))
-        .unionByName(batchSrcs).distinct()
-      val nextDirty = truncateDf(
-        full.join(broadcast(srcDirty), Seq("src"), "left_semi")
-          .select(col("dst").as("node"))
-          .unionByName(newNodes).distinct(), reliable)
-      // in-edges of the dirty set only — the probe a dst-partitioned
-      // edge store answers with partition pruning
-      val inE = full.join(broadcast(nextDirty.select(col("node").as("dst"))),
-        Seq("dst"), "left_semi")
-      // deg' and r'_{i−1} pruned to the TOUCHED srcs first (broadcast-semi
-      // scans), so the contribution joins are small⋈small broadcasts;
-      // r'_{i−1} = stored level patched with the previous dirty recomputes
-      val touched = inE.select(col("src")).distinct()
-      val degT = deg.join(broadcast(touched), Seq("src"), "left_semi")
+        .unionByName(batchSrcs)
+      val next = full.join(broadcast(srcDirty.distinct()), Seq("src"), "left_semi")
+        .select(col("dst").as("node"))
+        .unionByName(newNodes)
+      dirty = if (i == history.length - 1) truncateDf(next.distinct(), reliable)
+        else next
+      i += 1
+    }
+    // in-edges of the final dirty set — ONE probe a dst-partitioned edge
+    // store answers with partition pruning; touched srcs, pruned deg' and
+    // the per-level pruned history follow from it, all outside the loop
+    // (the identical broadcast subtrees below then build once per
+    // execution via exchange reuse instead of once per round)
+    val inE = truncateDf(
+      full.join(broadcast(dirty.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi"), reliable)
+    val touched = truncateDf(inE.select(col("src")).distinct(), reliable)
+    val degT = deg.join(broadcast(touched), Seq("src"), "left_semi")
+    var recomputed = dirty.select(col("node"), lit(scale).as("rank_fp"))
+    i = 1
+    while (i < history.length) {
+      // r'_{i−1} over the touched srcs = stored level patched with the
+      // previous level's recomputes (all of D, so the anti is vs D)
       val mergedT = history(i - 1).join(broadcast(touched.withColumnRenamed("src", "node")),
           Seq("node"), "left_semi")
         .join(broadcast(dirty), Seq("node"), "left_anti")
@@ -479,11 +531,17 @@ object LinkGraph {
         .join(broadcast(mergedT.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__c"))
-      recomputed = truncateDf(nextDirty.join(broadcast(contribs), Seq("node"), "left")
+      // single-reference chain (level i is read only inside level i+1's
+      // mergedT broadcast, or the final union) over checkpointed leaves
+      // (dirty/inE/touched) — no truncation, no per-round plan compile.
+      // Kept as broadcast-join form (NOT the union+agg of the full
+      // loops): this chain re-executes inside the next round's broadcast
+      // build, so it must stay shuffle-free — a shuffle here re-submits
+      // its stages per re-execution (measured +2 s at query scale).
+      recomputed = dirty.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
-            .as("rank_fp")), reliable)
-      dirty = nextDirty
+            .as("rank_fp"))
       i += 1
     }
     history.last.join(broadcast(dirty), Seq("node"), "left_anti")
@@ -536,6 +594,12 @@ object LinkGraph {
     var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
     var i = 0
     while (i < iterations) {
+      // NOTE: stays the groupBy + left-join form, NOT pagerankHistory's
+      // union+agg — here `ranks` is only truncated every 5 rounds, so a
+      // union with `nodes` would put the same relation in live lineage
+      // twice and break attribute binding at execution (measured at the
+      // 2M-edge bench: "key not found: node#…"); the history loop can use
+      // union+agg precisely because it checkpoints every level.
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
         // integral division: `DIV`, not `/` (float) — exactness is the contract
         .select(adj("dst").as("node"), expr("rank_fp div __outdeg").as("__c"))

@@ -320,9 +320,19 @@ object DataOpsQueries {
       val docs = Fixture.documents(s, dir)
       val keepIds = Dedup.exact(docs, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
+      // persisted across the FOUR eager reads inside the closure (LSH
+      // banding + both jaccard legs + simhash all scan it while
+      // connectedComponents materializes its pair set; Catalyst has no
+      // common-subplan elimination, so each otherwise re-runs the md5
+      // agg + semi join over the corpus — the d13 pairs rationale);
+      // released in the finally — the one remaining lazy read (the
+      // collapse anti join's left side) recomputes once at action time
       val exactSurvivors = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      val collapsed = Dedup.collapseNearDups(
-        exactSurvivors, "doc_id", nearDupPairs(exactSurvivors))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val collapsed =
+        try Dedup.collapseNearDups(
+          exactSurvivors, "doc_id", nearDupPairs(exactSurvivors))
+        finally { exactSurvivors.unpersist(); () }
       val filtered = collapsed
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("__r", graft.functions.graftfns.repetitionStats(col("text")))
@@ -2767,8 +2777,18 @@ object DataOpsQueries {
   private def quantilesByRank(d: DataFrame): DataFrame = {
     val ranked = graft.sched.Scheduler.globalRank(d,
       Seq(col("pred_lang"), col("n_tokens"), col("doc_id")), "grk")
-    val targets = ranked.groupBy(col("pred_lang").as("__tlang"))
-      .agg(min(col("grk")).as("__base"), count(lit(1)).as("__n"))
+    // Rank targets WITHOUT a second execution of the ranked frame: grk is
+    // a bijection onto 1..N following (pred_lang, …) order, so each
+    // language's min(grk) = 1 + Σ counts of preceding languages — a
+    // map-side-partial count per language + a prefix sum over the tiny
+    // language table replaces re-running the whole two-pass rank (the
+    // ranked frame previously had two consumers and no cache, so the
+    // corpus shuffle + window ran twice per call — guide §2.4).
+    val wOff = Window.orderBy(col("__tlang"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val targets = d.groupBy(col("pred_lang").as("__tlang"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__base", lit(1L) + coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__tlang"), col("__base"), col("__n"),
         explode(typedlit(Seq(25L, 50L, 75L, 90L))).as("pct"))
       .withColumn("__tgt", col("__base") + expr("(pct * __n + 99) DIV 100") - 1)
