@@ -111,7 +111,17 @@ object BandStore {
     val m = Meta(numBands, bits, prefixBits)
     clusteredForWrite(bandedWithPrefix(corpus, idCol, sigCol, m))
       .withColumnRenamed("__sig", "sig")
-      .write.mode("overwrite").partitionBy("band", "bpfx").parquet(path)
+      .write.mode("overwrite")
+      // task-side commit (FileOutputCommitter v2): the job-commit pass
+      // otherwise renames each partition directory's output sequentially
+      // on the driver — a ~16 ms/dir floor independent of data that
+      // dominates small appends at numBands × 2^prefixBits dirs. Safe
+      // here: ingest() is documented replay-safe without a commit log
+      // (a replayed batch's duplicate store rows are collapsed by
+      // probe's distinct), so partial task output from a failed write is
+      // covered by the same replay contract.
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .partitionBy("band", "bpfx").parquet(path)
     // meta AFTER the parquet overwrite (which clears the directory)
     val (fs, _) = fsFor(path, corpus.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(metaFile(path), true)
@@ -130,7 +140,12 @@ object BandStore {
     clusteredForWrite(bandedWithPrefix(batch, idCol, sigCol,
         readMeta(path, batch.sparkSession.sessionState.newHadoopConf())))
       .withColumnRenamed("__sig", "sig")
-      .write.mode("append").partitionBy("band", "bpfx").parquet(path)
+      .write.mode("append")
+      // v2 task-side commit — see write(); the append path is the
+      // per-crawl-batch hot path, where the per-directory job-commit
+      // rename floor would dominate O(batch) work
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .partitionBy("band", "bpfx").parquet(path)
     ()
   }
 

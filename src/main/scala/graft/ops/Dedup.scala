@@ -389,33 +389,42 @@ object Dedup {
       IterSupport.truncateRdd(e, reliable) // materializes in the checksum action
 
     // large-star: every node attaches its STRICTLY LARGER neighbors to
-    // the minimum of its closed neighborhood. One shuffle for the
-    // neighbor multiset; the min side rides the same partitioner.
+    // the minimum of its closed neighborhood. ONE shuffle (groupByKey of
+    // the neighbor multiset) + the emission narrow — the former
+    // reduceByKey-mins + partitionBy.join shape shuffled the same
+    // multiset PLUS a combined mins table and ran a third stage for the
+    // join; grouping is safe here because this engine only runs below
+    // `graft.cc.datasetThreshold` edges (≤500k), so a neighbor list is
+    // bounded by that. Emission is identical: m = min(closed nbhd),
+    // emit (m, v) per strictly-larger neighbor v.
     def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
-      val nbrs = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
-      val mins = nbrs.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
-          preservesPartitioning = true)
-      nbrs.partitionBy(part).join(mins)
-        .flatMap { case (u, (v, m)) =>
-          // m ≤ old u < v keeps u < v canonical
-          if (v > u) Iterator((m, v)) else Iterator.empty
+      e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .groupByKey(part)
+        .flatMap { case (u, vs) =>
+          var mn = u
+          val it0 = vs.iterator
+          while (it0.hasNext) { val v = it0.next(); if (v < mn) mn = v }
+          val m = mn
+          vs.iterator.collect { case v if v > u => (m, v) }
         }
         .distinct(part.numPartitions)
     }
 
     // small-star: every node attaches its smaller neighbors AND itself to
     // the minimum of that set. Edges arrive canonical (u < v), so "bigger
-    // node's smaller neighbors" = key by v.
+    // node's smaller neighbors" = key by v. Same one-shuffle groupByKey
+    // shape as largeStar.
     def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
-      val byV = e.map { case (u, v) => (v, u) }
-      val mins = byV.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val leaves = byV.partitionBy(part).join(mins)
-        .flatMap { case (_, (u, m)) =>
-          if (u != m) Iterator((m, u)) else Iterator.empty
+      e.map { case (u, v) => (v, u) }
+        .groupByKey(part)
+        .flatMap { case (v, us) =>
+          var mn = Long.MaxValue
+          val it0 = us.iterator
+          while (it0.hasNext) { val u = it0.next(); if (u < mn) mn = u }
+          val m = mn
+          us.iterator.collect { case u if u != m => (m, u) } ++ Iterator((m, v))
         }
-      val centers = mins.map { case (v, m) => (m, v) }
-      leaves.union(centers).distinct(part.numPartitions)
+        .distinct(part.numPartitions)
     }
 
     // multiset identity probe: count + order-independent hash sum (mix64

@@ -320,19 +320,15 @@ object DataOpsQueries {
       val docs = Fixture.documents(s, dir)
       val keepIds = Dedup.exact(docs, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
-      // persisted across the FOUR eager reads inside the closure (LSH
-      // banding + both jaccard legs + simhash all scan it while
-      // connectedComponents materializes its pair set; Catalyst has no
-      // common-subplan elimination, so each otherwise re-runs the md5
-      // agg + semi join over the corpus — the d13 pairs rationale);
-      // released in the finally — the one remaining lazy read (the
-      // collapse anti join's left side) recomputes once at action time
+      // deliberately NOT persisted: the five reads of this frame during
+      // the closure are each a cheap parquet scan + hash agg + semi join,
+      // and a persist (measured, with and without eager release) costs
+      // more in cache-fill than the recomputes it saves at every probed
+      // shape — the d13 pairs persist pays only because its LSH+verify
+      // derivation is far heavier than this semi join
       val exactSurvivors = docs.join(keepIds, Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val collapsed =
-        try Dedup.collapseNearDups(
-          exactSurvivors, "doc_id", nearDupPairs(exactSurvivors))
-        finally { exactSurvivors.unpersist(); () }
+      val collapsed = Dedup.collapseNearDups(
+        exactSurvivors, "doc_id", nearDupPairs(exactSurvivors))
       val filtered = collapsed
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("__r", graft.functions.graftfns.repetitionStats(col("text")))
@@ -1511,6 +1507,18 @@ object DataOpsQueries {
       val quotas = w.crossJoin(broadcast(sw))
         .withColumn("quota_tokens", expr("(20000 * __w) DIV __sw"))
         .select(col("source"), col("quota_tokens"))
+      // Each two-pass primitive executes its input several times (the
+      // numeric-leading-key quantile probe at plan-build time, then the
+      // in-bucket window AND the offsets aggregate at action time), and
+      // here the inputs are the whole upstream chain — so the mixture
+      // selection and the epoch permutation are persisted (the t10
+      // cached-tf rationale; without these the grouped prefix sum over
+      // the corpus executes ~6x per invocation). The selection is
+      // token-quota-bounded (a few hundred rows at any sf), so the
+      // result is materialized eagerly and both caches released in the
+      // finally — every invocation recomputes from the parquet inputs
+      // (the k7/c32 tinyResult pattern).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val selected = graft.sched.Scheduler.groupedPrefixSum(
           d.withColumn("__h", graft.ops.Sampling.idHash(col("doc_id"))),
           "source", Seq(col("__h"), col("doc_id")), col("n_tokens"), "__cum")
@@ -1519,13 +1527,16 @@ object DataOpsQueries {
         .select(col("source"), col("doc_id"), col("n_tokens"))
         .withColumn("__h2", graft.ops.CrossHash.md5Hash60(
           concat(col("doc_id").cast("string"), lit(":7"))))
+        .persist(lvl)
       val shuffled = graft.sched.Scheduler.globalRank(
-        selected, Seq(col("__h2"), col("doc_id")), "rk")
-      graft.sched.Scheduler.globalPrefixSum(
-          shuffled, Seq(col("rk")), col("n_tokens"), "__start")
-        .withColumn("shard_id", expr("__start DIV 2000"))
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("rk"), col("shard_id"))
+        selected, Seq(col("__h2"), col("doc_id")), "rk").persist(lvl)
+      try tinyResult(s,
+        graft.sched.Scheduler.globalPrefixSum(
+            shuffled, Seq(col("rk")), col("n_tokens"), "__start")
+          .withColumn("shard_id", expr("__start DIV 2000"))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("rk"), col("shard_id")))
+      finally { shuffled.unpersist(); selected.unpersist(); () }
     }),
 
     // The multimodal-corpus delivery chain over the round's new operators,
