@@ -66,9 +66,14 @@ object Bpe {
     var vocab: RDD[(Array[String], Long)] =
       words.rdd.map { case (w, f) => (w.map(_.toString).toArray, f) }
     vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count() // materialize the corpus pass once, before the rounds
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // ONE job per round: the takeOrdered below is the action that
+    // materializes the current vocab's (lazy) truncation point — the
+    // former explicit next.count() doubled every round's job count. The
+    // parent round's blocks are released only AFTER the child is
+    // materialized by that action (prev), so no round ever recomputes.
+    var prev: RDD[(Array[String], Long)] = null
     var rank = 1
     var done = false
     try {
@@ -76,23 +81,24 @@ object Bpe {
         val top = vocab.flatMap { case (syms, f) =>
           Iterator.range(0, syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))
         }.reduceByKey(_ + _).takeOrdered(1)(bestPair)
+        if (prev != null) { prev.unpersist(); prev = null } // vocab is materialized now
         if (top.isEmpty) done = true
         else {
           val ((l, r), c) = top(0)
           merges += ((rank.toLong, l, r, c))
           if (rank < numMerges) { // the last merge is never re-applied
             val next = vocab.map { case (syms, f) => (applyMerge(syms, l, r), f) }
-            // truncate lineage each round (the shared policy); materialize
-            // before dropping the parent so the round never recomputes
-            IterSupport.truncateRdd(next, reliable)
-            next.count()
-            vocab.unpersist()
+            IterSupport.truncateRdd(next, reliable) // lazy; next round's action materializes
+            prev = vocab
             vocab = next
           }
           rank += 1
         }
       }
-    } finally { vocab.unpersist(); () }
+    } finally {
+      vocab.unpersist()
+      if (prev != null) { prev.unpersist(); () }
+    }
 
     val schema = StructType(Seq(
       StructField("merge_rank", LongType, nullable = false),
