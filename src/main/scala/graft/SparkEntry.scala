@@ -187,10 +187,14 @@ object SparkEntry {
     // driver-surface row. Cross-batch state carry is StreamingSpec's job.
     "l1_host_limiter" -> ((s, dir) => {
       import s.implicits._
-      val cand = Fixture.frontier(s, dir).select(
-          UrlCanon.hostOf(col("url")).as("host"),
-          UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
+      // distinct on the canonical url alone (host is functionally
+      // determined by it — the c28/c33 narrowing), host derived from the
+      // distinct rows after the exchange
+      val cand = Fixture.frontier(s, dir)
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"))
         .distinct()
+        .select(UrlCanon.hostOf(col("canonical_url")).as("host"),
+          col("canonical_url"))
         .as[(String, String)]
       graft.streaming.Streaming.statefulHostLimiter(cand, budgetPerBatch = 3).toDF()
     }),
@@ -232,13 +236,18 @@ object SparkEntry {
     // revisits: O(k) state per host, map-side partials, no per-host
     // window sort (the same Zipf-hot-host posture as e4/a1).
     "c28_recrawl_priority" -> ((s, dir) => {
+      // grouped on the canonical url alone — host is functionally
+      // determined by it (hostOf(canonical) ≡ hostOf(raw): lowercasing
+      // and default-port stripping already applied), so the aggregation
+      // exchange carries one string per row and the host kernel runs
+      // once per distinct url, post-shuffle (guide §2.3)
       val f = Fixture.frontier(s, dir).select(
         UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
-        UrlCanon.hostOf(col("url")).as("host"),
         col("seed_rank"))
-      val hist = f.groupBy(col("canonical_url"), col("host"))
+      val hist = f.groupBy(col("canonical_url"))
         .agg(min(col("seed_rank")).as("sr"))
-        .select(col("canonical_url"), col("host"),
+        .select(col("canonical_url"),
+          UrlCanon.hostOf(col("canonical_url")).as("host"),
           (col("sr") % 720).as("age_hours"),
           (lit(1) + col("sr") % 13).as("n_fetches"),
           least(col("sr") % 7, lit(1) + col("sr") % 13).as("n_changes"))

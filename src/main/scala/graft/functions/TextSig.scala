@@ -27,6 +27,45 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object TextSig {
 
+  /** Thread-local MD5 instance for the 60-bit cross-engine hash kernels —
+    * MessageDigest.getInstance per call would dominate the digest itself. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The repo-standard cross-engine 60-bit md5-prefix hash, straight off
+    * the digest bytes: the first 15 hex digits of md5(x) parsed base 16
+    * equal the digest's first 60 bits, i.e. (first 8 bytes big-endian)
+    * >>> 4 — value-identical to the former
+    * `conv(substring(md5(x), 1, 15), 16, 10)` Column chain (locked by
+    * TextOpsSpec) without materializing the 32-char hex string, the
+    * substring, the base-conversion string or the decimal re-parse. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  /** [[md5Hash60]] over every element of a token-string array in one
+    * kernel call — the simhash token-lane derivation without the
+    * per-element interpreted `transform` dispatch. Null tokens hash to
+    * null (the old per-element Column chain's semantics). */
+  def md5TokenHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        out(i) = md5Hash60(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-band LSH buckets of a shingle-string array:
     * lane_i = min over shingles of xxh64(bytes, seed=i);
     * bucket_b = xxh64 chain over lanes [b*rows, (b+1)*rows). Empty shingle

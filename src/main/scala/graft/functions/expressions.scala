@@ -358,6 +358,43 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
 /** simhash_from_hashes(hashes, bits): packed ±1-majority signature in one
   * kernel pass — replaces `bits` interpreted `aggregate` folds. Bit-exact
   * vs the Column fold (order-independent integer counts). */
+/** md5_hash60(bytes): the repo-standard cross-engine 60-bit md5-prefix
+  * hash as one digest-to-long kernel — value-identical to
+  * `conv(substring(md5(x), 1, 15), 16, 10)` without the hex/conv string
+  * round-trips (see [[TextSig.md5Hash60]]). */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects BINARY, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextSig.md5Hash60(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.md5Hash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60Expr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_hash60"
+}
+
+/** md5_token_hashes(tokens): [[Md5Hash60Expr]] over every element of a
+  * token array in ONE kernel call — the simhash lane derivation without
+  * the per-element interpreted `transform` dispatch. */
+case class Md5TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    TextSig.md5TokenHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSig.md5TokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5TokenHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_token_hashes"
+}
+
 case class SimhashFromHashesExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -522,6 +559,10 @@ object graftfns {
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
   def simhashFromHashes(hashes: Column, bits: Int): Column =
     Bridge.column(SimhashFromHashesExpr(Bridge.expression(hashes), bits))
+  def md5Hash60(c: Column): Column =
+    Bridge.column(Md5Hash60Expr(Bridge.expression(c)))
+  def md5TokenHashes(tokens: Column): Column =
+    Bridge.column(Md5TokenHashesExpr(Bridge.expression(tokens)))
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Int): Column =

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * or derivation change edited anywhere else would silently diverge one
   * engine from the other on some query family. */
 object CrossHash {
+  /** One digest-to-long codegen kernel — value-identical to the former
+    * `conv(substring(md5(x), 1, 15), 16, 10).cast(long)` Column chain
+    * (the first 15 hex digits ARE the digest's first 60 bits; equality
+    * locked by TextOpsSpec) without materializing the 32-char hex
+    * string, the substring, the radix-conversion string or the decimal
+    * re-parse — ~3 string allocations saved per call on the hottest
+    * per-token path in the engine. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.graftfns.md5Hash60(c.cast("binary"))
 }

@@ -86,12 +86,17 @@ object CrawlOpsQueries {
       val u = concat(lit("https://"),
         when(col("seed_rank") % 2 === 0, lit("www.")).otherwise(lit("")),
         expr("substring(url, 9)"))
+      // distinct on the canonical url ALONE — host is functionally
+      // determined by it (hostOf(canonical) ≡ hostOf(raw): lowercasing
+      // and default-port stripping already applied), so the exchange
+      // carries one string per row instead of two and the host kernel
+      // runs once per DISTINCT row, after the shuffle (guide §2.3)
       Fixture.frontier(s, dir)
-        .select(UrlCanon.canonicalUrl(u).as("canonical_url"),
-          UrlCanon.hostOf(u).as("host"))
+        .select(UrlCanon.canonicalUrl(u).as("canonical_url"))
         .distinct()
         .select(col("canonical_url"),
-          UrlCanon.surtKey(col("canonical_url"), col("host")).as("surt_key"))
+          UrlCanon.surtKey(col("canonical_url"),
+            UrlCanon.hostOf(col("canonical_url"))).as("surt_key"))
     }),
 
     // CDX shard offset index: dedup the frontier to records, assign each
@@ -101,13 +106,16 @@ object CrawlOpsQueries {
     // the in-partition sort is the order the shard file must be written
     // in anyway (see [[graft.ops.CrawlIndex]]).
     "c34_cdx_index" -> ((s, dir) => {
+      // grouped on the canonical url alone — host is functionally
+      // determined by it (see c33), so the aggregation exchange carries
+      // one string per row and the host derivation runs post-shuffle
       val recs = Fixture.frontier(s, dir)
-        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"),
-          UrlCanon.hostOf(col("url")).as("host"), col("seed_rank"))
-        .groupBy(col("canonical_url"), col("host"))
+        .select(UrlCanon.canonicalUrl(col("url")).as("canonical_url"), col("seed_rank"))
+        .groupBy(col("canonical_url"))
         .agg(min(col("seed_rank")).as("sr"))
         .select(col("canonical_url"),
-          UrlCanon.surtKey(col("canonical_url"), col("host")).as("surt_key"),
+          UrlCanon.surtKey(col("canonical_url"),
+            UrlCanon.hostOf(col("canonical_url"))).as("surt_key"),
           (col("sr") % 8).as("shard"),
           (lit(120L) + length(col("canonical_url")).cast("long")).as("record_len"))
       CrawlIndex.cdxOffsets(recs, "shard", "record_len",

@@ -29,18 +29,16 @@ object DataOpsQueries {
     * pairs within hamming 6 of the cross-engine 60-bit token hash — the
     * two text-near-dup detectors voting into ONE pair graph, which is what
     * [[graft.ops.Dedup.connectedComponents]] then collapses (d9/e1). */
-  /** Cross-engine 60-bit md5-prefix token hash (shared with d3's simhash
-    * and the s1 rank hash — the repo's standard DuckDB-reproducible hash,
-    * one definition in [[graft.ops.CrossHash]]). */
-  private def md5TokenHash(t: org.apache.spark.sql.Column) =
-    graft.ops.CrossHash.md5Hash60(t)
+  // (the per-token cross-engine hash now rides the md5TokenHashes array
+  // kernel inside simhashSigs; scalar call sites use CrossHash.md5Hash60)
 
   /** (doc_id, sig): the d3-identical 60-bit simhash of a docs frame —
     * the signature the d11 band store persists and probes. */
   private def simhashSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       Dedup.simhashFromHashes(
-        transform(split(lower(trim(col("text"))), "\\s+"), t => md5TokenHash(t)), 60).as("sig"))
+        graft.functions.graftfns.md5TokenHashes(
+          split(lower(trim(col("text"))), "\\s+")), 60).as("sig"))
 
   /** Band-store location, scoped per (session, sf dir) under the bench
     * store root. Session-scoped paths never collide across runs — which
@@ -60,9 +58,12 @@ object DataOpsQueries {
     val mh = Dedup.jaccardVerify(docs, lsh.select("id_a", "id_b"), "text", "doc_id")
       .filter(col("jaccard_den") > 0 && col("jaccard_num") * 5 >= col("jaccard_den") * 4)
       .select("id_a", "id_b")
-    val sh = Dedup.simhashCandidates(docs, "text", "doc_id",
-        maxHamming = 6, numBands = 8, bits = 60,
-        tokenHash = md5TokenHash)
+    // banded hamming over simhashSigs — same derivation as
+    // simhashCandidates(tokenHash = md5TokenHash) but through the
+    // one-call-per-row md5TokenHashes kernel instead of the interpreted
+    // per-token transform (d3 gets the same rewrite)
+    val sh = Dedup.hammingCandidates(simhashSigs(docs), "doc_id", "sig",
+        maxHamming = 6, numBands = 8, bits = 60)
       .select("id_a", "id_b")
     mh.unionByName(sh)
   }
@@ -133,9 +134,8 @@ object DataOpsQueries {
     // (pigeonhole), so the output is exactly the brute-force all-pairs
     // hamming ≤ 6 — which is what the DuckDB oracle computes.
     "d3_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(Fixture.documents(s, dir), "text", "doc_id",
-        maxHamming = 6, numBands = 8, bits = 60,
-        tokenHash = md5TokenHash)),
+      Dedup.hammingCandidates(simhashSigs(Fixture.documents(s, dir)),
+        "doc_id", "sig", maxHamming = 6, numBands = 8, bits = 60)),
 
     // Exact n-gram (token) Jaccard on deterministic consecutive pairs —
     // integer numerator/denominator so the oracle hashes identically.
@@ -1166,16 +1166,18 @@ object DataOpsQueries {
       val cents = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").cast("int").as("cid"), quantized(col("embedding")).as("cv"))
         .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
-      val q = quantized(col("embedding"))
-      val scored = cents.map { case (cid, cv) =>
-        struct(
-          aggregate(zip_with(q, typedlit(cv), (x, c) => (x - c) * (x - c)),
-            lit(0L), (a, b) => a + b).as("d"),
-          lit(cid).as("cid"))
-      }
+      // assignment via the codegen'd argmin/(dist,cid)-tie kernel — the
+      // same values as the former per-centroid least(struct(aggregate(
+      // zip_with(...)))) chain (both are integer dist², exact in doubles;
+      // the kernel's tie rule is the d19/d20/e8 oracle-proven one) but
+      // ONE kernel call per row instead of 16 interpreted HOF folds
+      // (zip_with/aggregate are CodegenFallback).
       emb.select(col("vec_id"),
-          least(scored: _*).getField("cid").as("cluster"),
-          element_at(q, 1).as("q0"))
+          graft.functions.graftfns.nearestCluster(quantized(col("embedding")),
+            cents.map(_._2.map(_.toDouble).toArray).toArray,
+            cents.map(_._1).toArray).as("cluster"),
+          round(element_at(col("embedding"), 1).cast("double") * 1000)
+            .cast("long").as("q0"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), sum(col("q0")).as("sum_q0"))
     }),
