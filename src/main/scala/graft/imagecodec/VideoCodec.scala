@@ -56,8 +56,10 @@ object VideoCodec {
     require(isGvid(bytes), "not a GVID payload")
     val n = getU32(bytes, 4)
     // a malformed header must fail HERE with a clear message, not as an
-    // out-of-bounds read deep inside a codegen'd kernel
-    require(n >= 0 && bytes.length >= 12 + 4L * (n + 1),
+    // out-of-bounds read deep inside a codegen'd kernel; n + 1 widens to
+    // Long BEFORE the add — n = Int.MaxValue must not wrap negative and
+    // slip past the bound
+    require(n >= 0 && bytes.length >= 12 + 4L * (n + 1L),
       s"corrupt GVID: frame count $n does not fit a ${bytes.length}-byte payload")
     n
   }
@@ -73,7 +75,8 @@ object VideoCodec {
     require(i >= 0 && i < n, s"frame $i out of range [0, $n)")
     val start = getU32(bytes, 12 + 4 * i)
     val end = getU32(bytes, 12 + 4 * (i + 1))
-    require(start >= 12 + 4 * (n + 1) && start <= end && end <= bytes.length,
+    // Long arithmetic in the header-size bound, like frameCountOf
+    require(start >= 12 + 4L * (n + 1L) && start <= end && end <= bytes.length,
       s"corrupt GVID: frame $i offsets [$start, $end) outside payload of ${bytes.length}")
     java.util.Arrays.copyOfRange(bytes, start, end)
   }

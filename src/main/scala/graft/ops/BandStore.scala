@@ -135,10 +135,30 @@ object BandStore {
     * STORED parameters, `mode=append` — only directories owning batch
     * rows gain files, existing files untouched, O(batch) work. Append ≡
     * rebuild row-for-row (BandStoreSpec), mirroring the fixed-centroid
-    * contract of [[Ivf.appendToIndex]]. */
-  def append(batch: DataFrame, idCol: String, sigCol: String, path: String): Unit = {
-    clusteredForWrite(bandedWithPrefix(batch, idCol, sigCol,
-        readMeta(path, batch.sparkSession.sessionState.newHadoopConf())))
+    * contract of [[Ivf.appendToIndex]].
+    *
+    * `bandedRowsHint`: the MEASURED banded row count when the caller
+    * already knows it ([[ingest]]'s probe counts it in the same job that
+    * collects the touched-dir set — one job, two facts). A batch at or
+    * under `graft.band.smallAppendRows` (default 200k banded rows)
+    * skips [[clusteredForWrite]]'s range pass — its sampling scan plus
+    * range exchange cost more than they organize at that size — and
+    * writes from ONE task instead: exactly one file per touched
+    * directory (the same file count the range path yields for a small
+    * batch), no sampling job, no shuffle. Larger batches, and callers
+    * with no measurement, keep the range-clustered path — the layout
+    * that scales. */
+  def append(batch: DataFrame, idCol: String, sigCol: String, path: String,
+      bandedRowsHint: Option[Long] = None): Unit = {
+    val banded = bandedWithPrefix(batch, idCol, sigCol,
+      readMeta(path, batch.sparkSession.sessionState.newHadoopConf()))
+    val smallRows = batch.sparkSession.conf
+      .getOption("graft.band.smallAppendRows").map(_.toLong).getOrElse(200000L)
+    val clustered = bandedRowsHint match {
+      case Some(n) if n <= smallRows => banded.coalesce(1)
+      case _ => clusteredForWrite(banded)
+    }
+    clustered
       .withColumnRenamed("__sig", "sig")
       .write.mode("append")
       // v2 task-side commit — see write(); the append path is the
@@ -173,7 +193,8 @@ object BandStore {
     * [[graft.seen.CuckooSeen]]). A caller whose batch derivation is
     * expensive persists it before calling. */
   def probe(batch: DataFrame, idCol: String, sigCol: String, path: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      onBandedRows: Long => Unit = _ => ()): DataFrame = {
     val m = readMeta(path, batch.sparkSession.sessionState.newHadoopConf())
     require(maxHamming < m.numBands,
       s"maxHamming=$maxHamming needs < numBands=${m.numBands} bands for the pigeonhole recall guarantee")
@@ -198,6 +219,7 @@ object BandStore {
     val perDir = b.groupBy(dirKey.as("k")).agg(count(lit(1)).as("n")).collect()
     val touched = perDir.map(_.getInt(0)).toSeq
     val bandedRows = perDir.map(_.getLong(1)).sum
+    onBandedRows(bandedRows) // [[ingest]]'s append-path size hint — free here
     // explicit schema (id's type taken from the batch — the two sides must
     // agree for the bucket join anyway): no inference job, and an EMPTY
     // store (freshly write()-initialized, no data files yet) reads as an
@@ -260,7 +282,9 @@ object BandStore {
       maxHamming: Int,
       register: org.apache.spark.sql.Dataset[_] => Unit = _ => ()): DataFrame = {
     val m = readMeta(path, batch.sparkSession.sessionState.newHadoopConf())
-    val cross = probe(batch, idCol, sigCol, path, maxHamming)
+    var bandedRows: Option[Long] = None // measured by probe (absent on the empty-store path)
+    val cross = probe(batch, idCol, sigCol, path, maxHamming,
+        onBandedRows = n => bandedRows = Some(n))
       .filter(col("store_id") =!= col("batch_id")) // replay: a row meets itself
       .select(least(col("store_id"), col("batch_id")).as("id_a"),
         greatest(col("store_id"), col("batch_id")).as("id_b"), col("hamming"))
@@ -271,7 +295,7 @@ object BandStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(pairs)
     pairs.count() // materialize BEFORE the append (see above)
-    append(batch, idCol, sigCol, path)
+    append(batch, idCol, sigCol, path, bandedRowsHint = bandedRows)
     pairs
   }
 }

@@ -28,10 +28,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object Bpe {
 
   /** Greedy left-to-right merge application (the reference tokenizer's
-    * scan): non-overlapping occurrences of (l, r) collapse to l+r. */
+    * scan): non-overlapping occurrences of (l, r) collapse to l+r.
+    * Returns the INPUT array unchanged (no allocation) when the pair does
+    * not occur — in a merge-table replay most rounds touch nothing, so
+    * the cheap presence scan saves the per-round copy. */
   private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var at = -1
     var i = 0
+    while (at < 0 && i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) at = i
+      i += 1
+    }
+    if (at < 0) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    i = 0
     while (i < syms.length) {
       if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
         out += (l + r); i += 2
@@ -137,25 +147,45 @@ object Bpe {
       .select(col(idCol).cast("long").as("doc_id"),
         split(trim(lower(col(textCol))), "\\s+").as("words"))
       .as[(Long, Array[String])]
-      .map { case (id, ws) =>
+      // mapPartitions so the per-WORD merge replay is memoized once per
+      // task: the corpus is Zipf — the same words recur across (and
+      // within) documents, and replaying a 50k-rank merge table per
+      // OCCURRENCE is the encode's whole cost. The memo is capped so a
+      // pathological all-unique-words partition stays memory-bounded
+      // (past the cap, words encode uncached — same output, just slower).
+      // Output is byte-identical to the per-occurrence replay.
+      .mapPartitions { rows =>
         val t = bc.value
-        val md = java.security.MessageDigest.getInstance("MD5")
-        var n = 0L
-        var first = true
-        ws.foreach { w =>
-          var syms = w.map(_.toString).toArray
-          var i = 0
-          while (i < t.length && syms.length > 1) {
-            syms = applyMerge(syms, t(i)._1, t(i)._2); i += 1
-          }
-          n += syms.length
-          syms.foreach { s =>
-            if (!first) md.update(' '.toByte)
-            md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            first = false
+        val memo = new java.util.HashMap[String, Array[String]]()
+        val memoCap = 1 << 20
+        def encodeWord(w: String): Array[String] = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            var syms = w.map(_.toString).toArray
+            var i = 0
+            while (i < t.length && syms.length > 1) {
+              syms = applyMerge(syms, t(i)._1, t(i)._2); i += 1
+            }
+            if (memo.size < memoCap) memo.put(w, syms)
+            syms
           }
         }
-        (id, n, md.digest().map("%02x".format(_)).mkString)
+        rows.map { case (id, ws) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var n = 0L
+          var first = true
+          ws.foreach { w =>
+            val syms = encodeWord(w)
+            n += syms.length
+            syms.foreach { s =>
+              if (!first) md.update(' '.toByte)
+              md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              first = false
+            }
+          }
+          (id, n, md.digest().map("%02x".format(_)).mkString)
+        }
       }
       .toDF("doc_id", "n_subwords", "encoded_md5")
     out

@@ -152,7 +152,8 @@ object Dedup {
     * pairs where at least one holds survive. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, maxDf: Int = 100,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      register: org.apache.spark.sql.Dataset[_] => Unit = _ => ()): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
@@ -161,8 +162,13 @@ object Dedup {
       // three consumers (the hot-list aggregate and both sides of the
       // self-join) — persist or the shingle explode + hash re-runs over
       // the corpus for each (Catalyst does no common-subplan elimination;
-      // same measured rationale as t10's cached tf projection)
+      // same measured rationale as t10's cached tf projection). The
+      // persist is handed to `register` (the CuckooSeen/BandStore release
+      // contract): the result is LAZY, so the operator cannot unpersist
+      // it itself — callers unpersist after consuming, or the cached
+      // blocks live for the session
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(sh)
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("h")
     val kept = sh.join(hot, Seq("h"), "left_anti")
@@ -397,6 +403,17 @@ object Dedup {
     // `graft.cc.datasetThreshold` edges (≤500k), so a neighbor list is
     // bounded by that. Emission is identical: m = min(closed nbhd),
     // emit (m, v) per strictly-larger neighbor v.
+    //
+    // NO mid-round distinct: different groups can emit the same (m, v)
+    // pair (two low nodes sharing both the min and a larger neighbor),
+    // but small-star is duplicate-tolerant — duplicate `us` entries do
+    // not move a group min, and every emission passes through its
+    // trailing distinct, which is what defines the round's canonical
+    // output (and feeds the convergence checksum). Dropping the distinct
+    // removes one of the round's three shuffles outright (guide §2.4) at
+    // the cost of duplicate rows riding the small-star exchange — at most
+    // one per same-(min, neighbor) group pair, bounded by the edge count
+    // this engine caps at.
     def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
       e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
         .groupByKey(part)
@@ -407,7 +424,6 @@ object Dedup {
           val m = mn
           vs.iterator.collect { case v if v > u => (m, v) }
         }
-        .distinct(part.numPartitions)
     }
 
     // small-star: every node attaches its smaller neighbors AND itself to
@@ -612,12 +628,17 @@ object Dedup {
       // rep set would re-derive the batch's pairs (LSH probe + verify —
       // the expensive stage) each time, after the caller already released
       // its persist of them.
+      // NON-EAGER checkpoint: the closure below consumes touchedStars —
+      // which reads this frame — and the closure is eager, so the
+      // checkpoint is guaranteed materialized before the call returns
+      // (the release contract) WITHOUT its own materialization job; the
+      // former eager form paid one extra job + plan wait per fold
       val touchedRepsLazy = labels.join(batchNodes, Seq("doc_id"), "left_semi")
         .select(col("component_rep")).distinct()
       val touchedReps =
         if (spark.sparkContext.getCheckpointDir.isDefined)
-          touchedRepsLazy.checkpoint()
-        else touchedRepsLazy.localCheckpoint()
+          touchedRepsLazy.checkpoint(eager = false)
+        else touchedRepsLazy.localCheckpoint(eager = false)
       val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
       // touched components re-enter the closure as star edges; roots ride
       // their children's edges, and a SINGLETON labelling row (doc_id ==
@@ -662,22 +683,29 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val spark = labels.sparkSession
     val del = deleted.select(col("doc_id")).distinct()
+    // NON-EAGER checkpoints (cf. updateComponents' split path): the
+    // re-closure below is eager and reads members — which reads
+    // touchedReps — so both frames are materialized during this call by
+    // the closure's own first action instead of by two dedicated
+    // materialization jobs. Neither frame's lineage touches `pairs`
+    // (labels ⋉ del only), so the caller's release-at-return contract
+    // for a persisted pair derivation is unaffected; both stay
+    // checkpoint-backed for the lazy pass-through/singleton reads.
     val touchedRepsLazy = labels.join(del, Seq("doc_id"), "left_semi")
       .select(col("component_rep")).distinct()
     val touchedReps =
-      if (spark.sparkContext.getCheckpointDir.isDefined) touchedRepsLazy.checkpoint()
-      else touchedRepsLazy.localCheckpoint()
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        touchedRepsLazy.checkpoint(eager = false)
+      else touchedRepsLazy.localCheckpoint(eager = false)
     val untouched = labels.join(touchedReps, Seq("component_rep"), "left_anti")
       .select(col("doc_id"), col("component_rep"))
-    // surviving members of touched components; eager for the same reason
-    // as the rep set — referenced by BOTH the re-closure's edge filter
-    // and the singleton anti join below
     val membersLazy = labels.join(touchedReps, Seq("component_rep"), "left_semi")
       .join(del, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
     val members =
-      if (spark.sparkContext.getCheckpointDir.isDefined) membersLazy.checkpoint()
-      else membersLazy.localCheckpoint()
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        membersLazy.checkpoint(eager = false)
+      else membersLazy.localCheckpoint(eager = false)
     // true pairs with BOTH endpoints surviving inside a touched component
     // (a pair between two untouched components has no member endpoint and
     // drops here — its labels already passed through)
@@ -732,7 +760,8 @@ object Dedup {
   /** Shared prelude of [[spanScrub]]/[[scrubbedText]]: one row per input
     * doc with its token array and the set of positions covered by ≥ 1
     * cross-doc duplicated k-gram (`cov`, null when nothing matched). */
-  private def spanCover(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  private def spanCover(df: DataFrame, textCol: String, idCol: String, k: Int,
+      register: org.apache.spark.sql.Dataset[_] => Unit): DataFrame = {
     require(k >= 2, s"span width must be >= 2: $k")
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val base = df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
@@ -742,8 +771,10 @@ object Dedup {
       .select(col("doc_id"), col("p"), CrossHash.md5Hash60(col("ng")).as("ngh"))
       // two consumers (the dup-set aggregate and the semi-join left side)
       // — persist or the tokenize + shingle + hash pass re-runs over the
-      // corpus for each (the t10 cached-tf rationale)
+      // corpus for each (the t10 cached-tf rationale). Handed to
+      // `register` for caller-managed release (see containmentPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register(ngrams)
     val dup = ngrams.groupBy("ngh")
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2)
@@ -758,8 +789,9 @@ object Dedup {
   private def survivingToks =
     filter(col("toks"), (t, i) => !coalesce(array_contains(col("cov"), i), lit(false)))
 
-  def spanScrub(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    spanCover(df, textCol, idCol, k)
+  def spanScrub(df: DataFrame, textCol: String, idCol: String, k: Int,
+      register: org.apache.spark.sql.Dataset[_] => Unit = _ => ()): DataFrame =
+    spanCover(df, textCol, idCol, k, register)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_scrubbed"),
@@ -769,8 +801,9 @@ object Dedup {
     * processing the cleaned corpus (e.g. quality-filter then sample):
     * one row per input doc, `(doc_id, text)` with the surviving tokens
     * re-joined in order (possibly empty). */
-  def scrubbedText(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    spanCover(df, textCol, idCol, k)
+  def scrubbedText(df: DataFrame, textCol: String, idCol: String, k: Int,
+      register: org.apache.spark.sql.Dataset[_] => Unit = _ => ()): DataFrame =
+    spanCover(df, textCol, idCol, k, register)
       .select(col("doc_id"), array_join(survivingToks, " ").as("text"))
 
   /** SemDeDup-style semantic dedup over a PRE-ASSIGNED clustering

@@ -26,6 +26,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object LinkGraph {
 
+  // opt-in driver-side phase trace for the maintenance operators
+  // (GRAFT_GRAPH_TRACE=1): the g5 profile showed ~90% of the query is
+  // driver work, so the trace marks wall time at each build step
+  private val traceOn = sys.env.get("GRAFT_GRAPH_TRACE").contains("1")
+  private def trace(tag: String, t0: Long): Long = {
+    val now = System.nanoTime()
+    if (traceOn) println(f"[graph-trace] $tag%-28s +${(now - t0) / 1e9}%.3f s")
+    now
+  }
+
   private def datasetThreshold(spark: SparkSession): Long =
     spark.conf.getOption("graft.graph.datasetThreshold")
       .map(_.toLong).getOrElse(500000L)
@@ -155,9 +165,12 @@ object LinkGraph {
       maxChain: Int = 64): DataFrame = {
     val spark = resolved.sparkSession
     val neLazy = functionalized(newEdges)
+    // non-eager: the conflicts probe right below is the first action over
+    // ne and materializes the checkpoint — the eager form paid a separate
+    // materialization job before it
     val ne =
-      if (spark.sparkContext.getCheckpointDir.isDefined) neLazy.checkpoint()
-      else neLazy.localCheckpoint()
+      if (spark.sparkContext.getCheckpointDir.isDefined) neLazy.checkpoint(eager = false)
+      else neLazy.localCheckpoint(eager = false)
     val conflicts = ne.join(resolved.select(col("src")), Seq("src"), "left_semi")
     if (conflicts.limit(1).count() > 0)
       throw new IllegalArgumentException(
@@ -345,8 +358,11 @@ object LinkGraph {
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val base = (dampDen - dampNum) * scale / dampDen
+    var t = System.nanoTime()
     val e = truncateDf(prepEdges(edges), reliable)
+    t = trace("hist: e truncate", t)
     val deg = truncateDf(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), reliable)
+    t = trace("hist: deg truncate", t)
     // NOT truncated: each level re-runs this join of two checkpointed
     // frames (cheap, co-read), while truncating it would MATERIALIZE a
     // corpus-sized (src, dst, outdeg) table to block storage per fold —
@@ -356,6 +372,7 @@ object LinkGraph {
     val nodes = truncateDf(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct(), reliable)
+    t = trace("hist: nodes truncate", t)
     // r0 is a literal projection over the checkpointed node set — cheap to
     // re-read by construction, so no truncation (saves a plan compile)
     var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
@@ -374,6 +391,7 @@ object LinkGraph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * __c) div $dampDen")).as("rank_fp")),
         reliable)
+      t = trace(s"hist: rank level ${i + 1}", t)
       hist += ranks
       i += 1
     }
@@ -434,11 +452,14 @@ object LinkGraph {
     // batch-sized work both times — while a second checkpoint would add a
     // full driver-side plan compile (~0.3 s, the measured dominant cost of
     // this operator at query scale; see the expansion-loop note below)
+    var t = System.nanoTime()
     val prepNe = prepEdges(newEdges)
     val storedDup = oldE.join(broadcast(prepNe), Seq("src", "dst"), "left_semi")
     val ne = truncateDf(prepNe
       .join(broadcast(storedDup), Seq("src", "dst"), "left_anti"), reliable)
+    t = trace("ne truncate (compile)", t)
     if (ne.limit(1).count() == 0L) return history.last
+    t = trace("ne probe (job)", t)
 
     val full = oldE.unionByName(ne) // disjoint by the anti join
     // deg' = stored deg + per-src batch deltas (broadcast merge + the
@@ -460,8 +481,20 @@ object LinkGraph {
     val neNodes = ne.select(col("src").as("node"))
       .unionByName(ne.select(col("dst").as("node"))).distinct()
     val nodeDup = state.nodes.join(broadcast(neNodes), Seq("node"), "left_semi")
+    // TRUNCATED (non-eager), unlike batchDeg above: newNodes is stitched
+    // into the dirty-expansion tree at EVERY level and batchSrcs at every
+    // level's srcDirty — leaving them as join trees made the final
+    // frontier's one truncation compile a plan whose size grows
+    // multiplicatively with the level count (measured 4.4 s of driver
+    // planning+codegen at query scale, the single largest cost of this
+    // operator). As checkpoint leaves the expansion tree is ~6 operators
+    // per level and the same compile is ~0.5 s; the two extra toRdd
+    // compiles here are over batch-sized plans (~0.2 s together), and no
+    // extra job runs — both frames first materialize inside the fold's
+    // existing broadcast builds.
     val newNodes = neNodes.join(broadcast(nodeDup), Seq("node"), "left_anti")
     val batchSrcs = ne.select(col("src")).distinct()
+    t = trace("deg/nodes build", t)
 
     // Broadcast-small assumption (documented contract, like
     // updateRedirects' append-only rule): the batch and its ≤ |batch| ×
@@ -494,17 +527,23 @@ object LinkGraph {
     var dirty = newNodes                                       // D₀
     var i = 1
     while (i < history.length) {
-      // intermediate rounds skip the distinct: a semi-join probe is
-      // duplicate-tolerant, so only the FINAL frontier (which feeds the
-      // row-emitting unions) must be an exact set — two shuffle stages
-      // fewer per fold
+      // intermediate rounds carry NO distinct anywhere — a semi-join
+      // probe is duplicate-tolerant, so only the FINAL frontier (which
+      // feeds the row-emitting unions) must be an exact set. Each
+      // dropped distinct is one two-stage aggregate fewer PER LEVEL in
+      // the expansion tree, whose one-time physical compile is this
+      // operator's measured dominant cost at query scale (the broadcast
+      // carries duplicate probe keys instead — bounded by the same
+      // dirty-frontier contract).
       val srcDirty = dirty.select(col("node").as("src"))
         .unionByName(batchSrcs)
-      val next = full.join(broadcast(srcDirty.distinct()), Seq("src"), "left_semi")
+      val next = full.join(broadcast(srcDirty), Seq("src"), "left_semi")
         .select(col("dst").as("node"))
         .unionByName(newNodes)
+      t = trace(s"dirty level $i lazy build", t)
       dirty = if (i == history.length - 1) truncateDf(next.distinct(), reliable)
         else next
+      t = trace(s"dirty level $i truncate", t)
       i += 1
     }
     // in-edges of the final dirty set — ONE probe a dst-partitioned edge
@@ -515,7 +554,9 @@ object LinkGraph {
     val inE = truncateDf(
       full.join(broadcast(dirty.select(col("node").as("dst"))),
         Seq("dst"), "left_semi"), reliable)
+    t = trace("inE truncate (compile)", t)
     val touched = truncateDf(inE.select(col("src")).distinct(), reliable)
+    t = trace("touched truncate (compile)", t)
     val degT = deg.join(broadcast(touched), Seq("src"), "left_semi")
     var recomputed = dirty.select(col("node"), lit(scale).as("rank_fp"))
     i = 1
@@ -542,10 +583,13 @@ object LinkGraph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__c, 0L)) div $dampDen"))
             .as("rank_fp"))
+      t = trace(s"recompute round $i build", t)
       i += 1
     }
-    history.last.join(broadcast(dirty), Seq("node"), "left_anti")
+    val out = history.last.join(broadcast(dirty), Seq("node"), "left_anti")
       .unionByName(recomputed)
+    trace("final union build", t)
+    out
   }
 
   private def pagerankRddLoop(e: DataFrame, edgeCount: Long, iterations: Int,

@@ -1303,7 +1303,11 @@ object DataOpsQueries {
       // lineage (window pass + counts pass + targets), and without the
       // cache each fork re-runs the langId marker scans over the corpus
       // (measured 4× at sf0.1); the final relation is ≤ langs×4 rows, so
-      // materialize it eagerly and release the cache before returning
+      // materialize it eagerly and release the cache before returning.
+      // (A repartition fan-out of the one-row-group fixture scan was
+      // probed here and REVERTED: the exchange re-ran inside every
+      // concurrent first reader of the persist and cost more than the
+      // serial kernel fill it parallelized.)
       val d = Fixture.documents(s, dir).select(
           TextAnalysis.langId(col("text")).as("pred_lang"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1344,7 +1348,13 @@ object DataOpsQueries {
           .join(touched, col("pred_lang") === col("__touched"), "left_semi"))
         val untouched = quantilesByRank(stored
           .join(touched, col("pred_lang") === col("__touched"), "left_anti"))
-        tinyResult(s, recomputed.unionByName(untouched))
+        // the two maintenance legs are INDEPENDENT jobs over the shared
+        // persisted projection — collect them from two driver threads
+        // (guide §2.6: overlap independent jobs; the slow leg's stages
+        // back-fill the fast leg's idle cores) instead of planning one
+        // union mega-plan whose driver-side optimization alone measured
+        // ~1.5 s. Row set ≡ the former union (the driver compare sorts).
+        tinyResult2(s, recomputed, untouched)
       } finally { d.unpersist(); () }
     }),
 
@@ -2776,6 +2786,22 @@ object DataOpsQueries {
   private def tinyResult(s: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.collect()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** [[tinyResult]] over the bag-union of two independent bounded legs,
+    * collected CONCURRENTLY from two driver threads (guide §2.6): each
+    * leg plans and runs as its own (much smaller) query, and the slow
+    * leg's stages back-fill cores the fast leg frees. Spark actions are
+    * thread-safe per session; the combined row multiset is exactly
+    * `a.unionByName(b)`'s. */
+  private def tinyResult2(s: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a.collect())
+    val fb = Future(b.collect())
+    val rows = Await.result(fa, Duration.Inf) ++ Await.result(fb, Duration.Inf)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), a.schema)
   }
 
   /** Plan-dump hook: the c32/k7 entries eagerly materialize their bounded

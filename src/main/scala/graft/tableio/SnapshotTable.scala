@@ -36,7 +36,10 @@ object SnapshotTable {
       batchId: Long, // user-level idempotency key; -1 if unkeyed
       files: Seq[String], // data files ADDED by this snapshot (relative)
       rows: Long, // rows added
-      folded: Seq[Long] = Nil) // batch ids a REBASE preserved from the cut chain
+      folded: Seq[Long] = Nil, // batch ids a REBASE preserved from the cut chain
+      rebase: Boolean = false) // true iff written by compact() — parent == -1
+        // alone does NOT identify a rebase (the first ordinary commit has
+        // parent -1 too), which is what the compact idempotency guard needs
 
   /** Per-JVM memo of parsed manifests, keyed (table root, snapshot id) —
     * see [[SnapshotTable.manifest]] for the immutability argument. */
@@ -158,15 +161,22 @@ final class SnapshotTable(val root: String) {
     * before the horizon reads the (complete) rebased state instead of a
     * no-longer-reachable delta. */
   def compact(df: DataFrame, batchId: Long): Long = synchronized {
+    // idempotent replay is allowed only against a manifest compact() itself
+    // wrote (m.rebase) — `parent == -1` alone also matches the table's
+    // FIRST ordinary commit, so the pre-fix guard let
+    // compact(df, batchId = <first commit's batchId>) silently no-op, the
+    // exact caller bug it exists to catch
     require(batchId < 0 || !committedBatchIds.contains(batchId) ||
-      headId.exists(id => chain(id).exists(m => m.parent == -1L && m.batchId == batchId)),
+      headId.exists(id => chain(id).exists(m => m.rebase && m.batchId == batchId)),
       s"compact batchId $batchId is a batch already ON the chain — pass a fresh id " +
         "(the folded ids are preserved automatically)")
-    writeSnapshot(df, batchId, parentOf = _ => -1L, folded = committedBatchIds.toSeq.sorted)
+    writeSnapshot(df, batchId, parentOf = _ => -1L,
+      folded = committedBatchIds.toSeq.sorted, rebase = true)
   }
 
   private def writeSnapshot(df: DataFrame, batchId: Long,
-      parentOf: Option[Long] => Long, folded: Seq[Long] = Nil): Long = synchronized {
+      parentOf: Option[Long] => Long, folded: Seq[Long] = Nil,
+      rebase: Boolean = false): Long = synchronized {
     val head = headId
     if (batchId >= 0 && committedBatchIds.contains(batchId)) return head.get
     val id = head.map(_ + 1).getOrElse(0L)
@@ -185,7 +195,7 @@ final class SnapshotTable(val root: String) {
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => rootP.relativize(p).toString).toSeq.sorted
-    val m = Manifest(id, parentOf(head), batchId, files, rows, folded)
+    val m = Manifest(id, parentOf(head), batchId, files, rows, folded, rebase)
     writeAtomic(snapP.resolve(s"snapshot-$id.json"), renderManifest(m))
     // keep the parse memo coherent: a HEAD rollback (crash healing) makes
     // the next commit REUSE the orphaned id with a fresh file list — the
@@ -237,7 +247,7 @@ final class SnapshotTable(val root: String) {
   private def renderManifest(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + f.replace("\\", "/") + "\"").mkString("[", ",", "]")
     val fb = m.folded.mkString("[", ",", "]")
-    s"""{"id":${m.id},"parent":${m.parent},"batchId":${m.batchId},"rows":${m.rows},"files":$fs,"folded":$fb}"""
+    s"""{"id":${m.id},"parent":${m.parent},"batchId":${m.batchId},"rows":${m.rows},"files":$fs,"folded":$fb,"rebase":${m.rebase}}"""
   }
 
   private def parseManifest(s: String): Manifest = {
@@ -250,7 +260,11 @@ final class SnapshotTable(val root: String) {
     val folded = "\"folded\":\\[(.*?)\\]".r.findFirstMatchIn(s)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Nil)
+    // "rebase" absent in pre-fix manifests → false (same back-compat rule
+    // as "folded")
+    val rebase = "\"rebase\":(true|false)".r.findFirstMatchIn(s)
+      .exists(_.group(1) == "true")
     Manifest(longField("id"), longField("parent"), longField("batchId"), fs,
-      longField("rows"), folded)
+      longField("rows"), folded, rebase)
   }
 }
