@@ -361,18 +361,31 @@ object LinkGraph {
     var t = System.nanoTime()
     val e = truncateDf(prepEdges(edges), reliable)
     t = trace("hist: e truncate", t)
-    val deg = truncateDf(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), reliable)
-    t = trace("hist: deg truncate", t)
+    // deg and nodes both derive from the e checkpoint and are INDEPENDENT
+    // of each other, yet each truncation executes its shuffle stages at
+    // call time (AQE materializes a plan's exchanges inside toRdd), so
+    // run the two from two driver threads (guide §2.6: overlap
+    // independent jobs) instead of paying the two stage chains back to
+    // back. Spark job submission is thread-safe; both read only the
+    // materialized e leaf.
+    val (deg, nodes) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDeg = Future(truncateDf(
+        e.groupBy("src").agg(count(lit(1)).as("__outdeg")), reliable))
+      val fNodes = Future(truncateDf(
+        e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+          .distinct(), reliable))
+      (Await.result(fDeg, Duration.Inf), Await.result(fNodes, Duration.Inf))
+    }
+    t = trace("hist: deg+nodes truncate", t)
     // NOT truncated: each level re-runs this join of two checkpointed
     // frames (cheap, co-read), while truncating it would MATERIALIZE a
     // corpus-sized (src, dst, outdeg) table to block storage per fold —
     // more bytes written than the 3 re-joins cost (measured at the
     // 2M-edge bench; at 10^10 edges the write is strictly worse)
     val adj = e.join(deg, "src")
-    val nodes = truncateDf(
-      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
-        .distinct(), reliable)
-    t = trace("hist: nodes truncate", t)
     // r0 is a literal projection over the checkpointed node set — cheap to
     // re-read by construction, so no truncation (saves a plan compile)
     var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
