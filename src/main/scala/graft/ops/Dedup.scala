@@ -621,9 +621,18 @@ object Dedup {
     // wins by ~2 s. Default 100k, conf `graft.cc.touchedSplitThreshold`.)
     val splitThreshold = spark.conf.getOption("graft.cc.touchedSplitThreshold")
       .map(_.toLong).getOrElse(100000L)
+    // a LOCAL labelling (the empty frame a maintenance loop starts from,
+    // or a collected bootstrap) answers the size probe from its analyzed
+    // plan — no job; everything else pays the one-partition CollectLimit
+    // probe as before
+    val localSize = labels.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.size.toLong)
+      case _ => None
+    }
     val small = splitThreshold >= Int.MaxValue.toLong ||
-      (splitThreshold > 0 &&
-        labels.limit(splitThreshold.toInt + 1).count() <= splitThreshold)
+      (splitThreshold > 0 && localSize.map(_ <= splitThreshold).getOrElse(
+        labels.limit(splitThreshold.toInt + 1).count() <= splitThreshold))
     if (small) {
       // full-star shape: every labelled node re-enters as a star edge;
       // the closure is eager, so the result references neither input
